@@ -1,0 +1,14 @@
+from featureengineer_spark.operators.windows import (  # noqa: F401
+    turn_window,
+    with_lags,
+    with_inter_turn_latency,
+    with_rolling_counts,
+    with_backfill,
+    with_session_ids,
+    with_sliding_norm,
+    with_deltas,
+    with_group_norm,
+    with_cumulative,
+)
+from featureengineer_spark.operators.asof import asof_join, asof_join_pandas  # noqa: F401
+from featureengineer_spark.operators.skew import detect_heavy_keys, salted_rolling_counts  # noqa: F401

@@ -1,0 +1,171 @@
+"""As-of / point-in-time join — the engine's flagship operator (J9).
+
+Graft of the reference's enroll/test discipline: an enroll model is built
+only from frames with index inside the trial's ``[start, stop]`` bound
+(``IVector.py:796-800``), i.e. features never read rows beyond the anchor.
+Here: for each ``(entity, anchor_ts)`` probe, attach the most recent
+feature row with ``ts <= anchor_ts`` (or ``<`` when ``inclusive=False``),
+tie-broken by the stable turn ordering ``(ts, turn_idx)``.
+
+Two physical strategies, identical semantics:
+
+* :func:`asof_join` — **union-tag + window backfill**: pure DataFrame ops,
+  one shuffle+sort on the entity key, leakage-safe by construction (the
+  window frame ends at the current row). This is the default and the one
+  Catalyst can fuse with up/downstream windows sharing the partitioning.
+* :func:`asof_join_pandas` — **cogrouped sort-merge**: ``cogroup(...)
+  .applyInPandas`` running ``pd.merge_asof`` per entity — Arrow-batched,
+  zero per-row Python. Faster when value columns are many/wide (window
+  backfill needs one ``last()`` per column; merge_asof pays once).
+
+At cluster scale both shuffle each side exactly once on ``entity``; with
+ts-bucketed, conv-hash-partitioned (Iceberg-layout) inputs the exchange on
+the feature side is avoided entirely (storage-partition join / bucketed
+scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_TAG = "__asof_tag"
+_ROWID = "__asof_anchor_id"
+
+
+def asof_join(
+    features: DataFrame,
+    anchors: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    anchor_ts_col: str = "anchor_ts",
+    tie_col: str = "turn_idx",
+    value_cols: Sequence[str] | None = None,
+    inclusive: bool = True,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Point-in-time join via union-tag + ``last(ignorenulls)`` window.
+
+    Returns one row per anchor row with ``value_cols`` (default: all
+    feature columns except the keys) filled from the latest qualifying
+    feature row; anchors with no prior feature get nulls.
+    """
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
+
+    # Pack matched_ts + all value columns into ONE struct and backfill
+    # the struct: per-column backfill would stitch together values from
+    # different feature rows whenever a column is null in the latest row.
+    packed = F.struct(
+        F.col(ts_col).alias(matched_ts_col), *[F.col(c) for c in value_cols]
+    )
+    feat = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__t"),
+        (F.col(tie_col).cast("long") if tie_col in features.columns else F.lit(0).cast("long")).alias("__tie"),
+        F.lit(0).alias(_TAG),
+        packed.alias("__row"),
+        *[F.lit(None).cast(anchors.schema[c].dataType).alias(f"__a_{c}") for c in passthrough],
+    )
+    row_type = feat.schema["__row"].dataType
+    # At equal ts: inclusive → anchors sort AFTER features (tag 1 > 0) so
+    # the window sees them; strict → anchors sort BEFORE (tag -1 < 0).
+    atag = 1 if inclusive else -1
+    anch = anchors.select(
+        F.col(entity_col),
+        F.col(anchor_ts_col).alias("__t"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.lit(atag).alias(_TAG),
+        F.lit(None).cast(row_type).alias("__row"),
+        *[F.col(c).alias(f"__a_{c}") for c in passthrough],
+    )
+
+    unioned = feat.unionByName(anch)
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        entity_col,
+        F.col("__t"),
+        F.col(_TAG),
+        F.last("__row", ignorenulls=True).over(w).alias("__row"),
+        *[F.col(f"__a_{c}") for c in passthrough],
+    )
+    out = filled.filter(F.col(_TAG) == atag).select(
+        F.col(entity_col),
+        F.col("__t").alias(anchor_ts_col),
+        *[F.col(f"__a_{c}").alias(c) for c in passthrough],
+        F.col(f"__row.{matched_ts_col}").alias(matched_ts_col),
+        *[F.col(f"__row.{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def asof_join_pandas(
+    features: DataFrame,
+    anchors: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    anchor_ts_col: str = "anchor_ts",
+    tie_col: str = "turn_idx",
+    value_cols: Sequence[str] | None = None,
+    inclusive: bool = True,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Point-in-time join via cogrouped ``pd.merge_asof`` (Arrow-batched).
+
+    Same semantics as :func:`asof_join`; sort-merge within each entity
+    cogroup. The per-group pandas sort is the "sort-merge within ts-bucket
+    partitions" strategy from SURVEY.md §2.3 J9.
+    """
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
+
+    feat = features.select(entity_col, ts_col, *( [tie_col] if tie_col in features.columns and tie_col not in value_cols else [] ), *value_cols)
+    anch = anchors.withColumn(_ROWID, F.monotonically_increasing_id())
+
+    out_fields = (
+        [T.StructField(entity_col, anchors.schema[entity_col].dataType)]
+        + [T.StructField(anchor_ts_col, anchors.schema[anchor_ts_col].dataType)]
+        + [T.StructField(c, anchors.schema[c].dataType) for c in passthrough]
+        + [T.StructField(matched_ts_col, features.schema[ts_col].dataType)]
+        + [T.StructField(c, features.schema[c].dataType) for c in value_cols]
+    )
+    out_schema = T.StructType(out_fields)
+    sort_cols = [ts_col] + ([tie_col] if tie_col in feat.columns else [])
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = anchors cogroup, right = features cogroup
+        left = left.sort_values([anchor_ts_col, _ROWID], kind="mergesort")
+        if right.empty:
+            res = left[[entity_col, anchor_ts_col, *passthrough]].copy()
+            res[matched_ts_col] = pd.NaT
+            for c in value_cols:
+                res[c] = None
+            return res[[f.name for f in out_fields]]
+        right = right.sort_values(sort_cols, kind="mergesort")
+        right = right.rename(columns={ts_col: matched_ts_col})
+        res = pd.merge_asof(
+            left,
+            right.drop(columns=[entity_col]),
+            left_on=anchor_ts_col,
+            right_on=matched_ts_col,
+            direction="backward",
+            allow_exact_matches=inclusive,
+        )
+        return res[[f.name for f in out_fields]]
+
+    return (
+        anch.groupBy(entity_col)
+        .cogroup(feat.groupBy(entity_col))
+        .applyInPandas(merge, schema=out_schema)
+    )

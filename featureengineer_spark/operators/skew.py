@@ -1,0 +1,130 @@
+"""Skew handling for mega-conversations (W2/X5 graft).
+
+The reference batches "very long signals" explicitly to bound memory
+(``FeaGet.py:211-217``) and splits sessions across MPI ranks with
+``numpy.array_split`` (``mpiIV.py:160,282``). In Spark, per-entity window
+functions and grouped-map UDFs put ALL rows of one entity in one task —
+a single 10^7-turn conversation serializes the stage. AQE's skew-join
+splitting does not apply to window/grouped-map stages, so we salt
+explicitly:
+
+* bounded windows (rolling counts over last k turns) → chunk each entity
+  by ``turn_idx`` range and REPLICATE the trailing ``k-1`` boundary rows
+  into the next chunk ("carry-in"); compute per (entity, chunk), emit only
+  non-carry rows. Exact, pure DataFrame ops, parallelism = #chunks.
+* unbounded running aggregates (cumsum) → classic two-pass distributed
+  prefix scan: per-chunk partials + a tiny per-entity scan over chunk
+  totals joined back.
+
+Both keep the secondary ``turn_idx`` sort inside each chunk, per the
+north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def detect_heavy_keys(
+    df: DataFrame, key: str = "conv_id", threshold: int = 100_000
+) -> DataFrame:
+    """Entities whose row count exceeds ``threshold`` (heavy hitters).
+
+    One partial+final count agg — cheap at any scale. Callers route heavy
+    keys to the salted path and the rest to plain windows.
+    """
+    return df.groupBy(key).count().filter(F.col("count") > threshold)
+
+
+def salted_rolling_counts(
+    df: DataFrame,
+    predicates: dict[str, Column],
+    window: int = 10,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Rolling conditional counts with salted parallelism.
+
+    Exact same result as ``with_rolling_counts`` but a mega-conversation
+    of N turns runs as ``ceil(N / chunk_size)`` parallel tasks instead of
+    one. Requires contiguous ``idx_col`` within each entity (the engine's
+    turn_idx invariant). ``window <= chunk_size`` required (carry-in rows
+    come only from the immediately preceding chunk).
+    """
+    if window > chunk_size:
+        raise ValueError("window must be <= chunk_size")
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    own = df.withColumn("__chunk", chunk).withColumn("__carry", F.lit(False))
+    carry = (
+        df.withColumn("__chunk", chunk + 1)
+        .withColumn("__carry", F.lit(True))
+        .filter(F.col(idx_col).cast("long") % chunk_size >= chunk_size - (window - 1))
+    )
+    unioned = own.unionByName(carry)
+    w = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    out = unioned
+    for name, pred in predicates.items():
+        out = out.withColumn(name, F.sum(F.when(pred, 1).otherwise(0)).over(w))
+    return out.filter(~F.col("__carry")).drop("__chunk", "__carry")
+
+
+def salted_cumulative(
+    df: DataFrame,
+    cols: dict[str, Column],
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Running sums via a two-pass distributed prefix scan.
+
+    Pass 1: within-chunk running sums (parallel over chunks).
+    Pass 2: exclusive scan over per-chunk totals (tiny — #chunks rows per
+    entity) joined back as an offset. Exact equivalent of
+    ``with_cumulative`` with bounded task size.
+    """
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    named = {name: expr for name, expr in cols.items()}
+    base = df.withColumn("__chunk", chunk)
+    for name, expr in named.items():
+        base = base.withColumn(f"__v_{name}", expr)
+
+    w_in = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for name in named:
+        base = base.withColumn(f"__local_{name}", F.sum(f"__v_{name}").over(w_in))
+
+    totals = base.groupBy(entity_col, "__chunk").agg(
+        *[F.sum(f"__v_{name}").alias(f"__tot_{name}") for name in named]
+    )
+    w_scan = (
+        Window.partitionBy(entity_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        entity_col,
+        "__chunk",
+        *[
+            F.coalesce(F.sum(f"__tot_{name}").over(w_scan), F.lit(0)).alias(f"__off_{name}")
+            for name in named
+        ],
+    )
+    joined = base.join(offsets, on=[entity_col, "__chunk"], how="inner")
+    for name in named:
+        joined = joined.withColumn(name, F.col(f"__local_{name}") + F.col(f"__off_{name}"))
+    drop = ["__chunk"] + [f"__{p}_{n}" for n in named for p in ("v", "local", "off")]
+    return joined.drop(*drop)

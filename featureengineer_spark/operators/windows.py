@@ -1,0 +1,240 @@
+"""Windowed sequence operators over entity-keyed ordered event tables.
+
+These are the Spark-native re-expressions of the reference's frame-sequence
+kernels (SURVEY.md §2.5):
+
+=====================  =============================================  ==========================
+engine operator        reference concept                              reference evidence
+=====================  =============================================  ==========================
+with_lags              delta / double-delta across ±N frames          FeaGet.py:50-51,287-290
+with_inter_turn_latency  frame shift grid / timing deltas             FeaGet.py:36-37
+with_rolling_counts    stat0 per-window weighted counts               IVector.py:810-815
+with_backfill          edge padding / label extension                 FeaGet.py:247-248
+with_session_ids       VAD energy gap segmentation                    FeaGet.py:292-297
+with_sliding_norm      cep_sliding_norm(win=301, center=True)         IVector.py:348
+with_group_norm        per-utterance CMVN                             IVector.py:508-514
+with_deltas            delta/double-delta numeric differences         FeaGet.py:287-290
+with_cumulative        DET/EER cumulative sums                        jyh/result.py:48-59
+=====================  =============================================  ==========================
+
+All operators are pure ``Window`` expressions — zero Python UDFs, fully
+inside whole-stage codegen. Every frame ends at ``Window.currentRow`` with
+ordering on ``(ts, turn_idx)`` (or the caller's order columns) so no
+feature ever reads a row later than its own — the temporal-leakage
+discipline grafted from the reference's ``cep[start:stop]`` bounds
+(``IVector.py:796-800``).
+
+At cluster scale each operator induces exactly one hash-partition shuffle
+on the entity key (and Spark reuses that exchange across consecutive
+operators with the same partitioning), so chaining k operators costs one
+shuffle, not k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def turn_window(
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> WindowSpec:
+    """Canonical per-entity ordered window: partition by entity, order by
+    ``(ts, turn_idx)`` — the "stable turn ordering" invariant from
+    ``BASELINE.json:input_hint``."""
+    return Window.partitionBy(entity_col).orderBy(*[F.col(c).asc() for c in order_cols])
+
+
+def with_lags(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int] = (1,),
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    leads: bool = True,
+) -> DataFrame:
+    """lag/lead feature columns — the delta/double-delta graft (W3).
+
+    Adds ``lag{n}_{col}`` (and ``lead{n}_{col}`` when ``leads``) for each
+    requested column and offset. Note leads read *future* rows by design;
+    they must not feed point-in-time features (the leakage validator
+    flags them) — they exist for offline label construction.
+    """
+    w = turn_window(entity_col, order_cols)
+    out = df
+    for c in cols:
+        for n in offsets:
+            out = out.withColumn(f"lag{n}_{c}", F.lag(c, n).over(w))
+            if leads:
+                out = out.withColumn(f"lead{n}_{c}", F.lead(c, n).over(w))
+    return out
+
+
+def with_inter_turn_latency(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "inter_turn_latency_s",
+) -> DataFrame:
+    """Seconds since the previous turn within the conversation."""
+    w = turn_window(entity_col, order_cols)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # integer-microsecond subtraction, then scale: exact (casting each
+    # timestamp to double first loses ~1e-7 s at 2024 epoch magnitudes)
+    return df.withColumn(
+        out_col, (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) / 1e6
+    )
+
+
+def with_rolling_counts(
+    df: DataFrame,
+    predicates: dict[str, Column],
+    window: int = 10,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Rolling conditional counts over the last ``window`` turns (incl.
+    current) — the stat0 sufficient-statistics graft (A4): per-window
+    weighted counts of role/tool usage instead of per-mixture posteriors.
+
+    ``predicates`` maps output column name → boolean Column, e.g.::
+
+        {"rolling_assistant_turns_10": F.col("role") == "assistant"}
+    """
+    w = turn_window(entity_col, order_cols).rowsBetween(-(window - 1), 0)
+    out = df
+    for name, pred in predicates.items():
+        out = out.withColumn(
+            name, F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).over(w)
+        )
+    return out
+
+
+def default_rolling_predicates() -> dict[str, Column]:
+    return {
+        "rolling_user_turns_10": F.col("role") == "user",
+        "rolling_assistant_turns_10": F.col("role") == "assistant",
+        "rolling_tool_calls_10": F.col("tool").isNotNull(),
+    }
+
+
+def with_backfill(
+    df: DataFrame,
+    col: str = "tool",
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Forward-fill a sparse column with the last non-null value at or
+    before the current row (W8 edge-padding graft). Frame ends at
+    currentRow — never reads the future."""
+    w = turn_window(entity_col, order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        out_col or f"{col}_backfilled", F.last(col, ignorenulls=True).over(w)
+    )
+
+
+def with_session_ids(
+    df: DataFrame,
+    idle_timeout_s: float = 1800.0,
+    ts_col: str = "ts",
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (W6): a new session starts when the gap
+    since the previous turn exceeds ``idle_timeout_s``. Session ids are
+    0-based per entity.
+
+    Graft of the reference's VAD energy segmentation — silence runs split
+    a signal into speech segments (``FeaGet.py:292-297``); here idle gaps
+    split a conversation into sessions.
+    """
+    w = turn_window(entity_col, order_cols)
+    gap = (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w))) / 1e6
+    is_new = F.when(gap > idle_timeout_s, F.lit(1)).otherwise(F.lit(0))
+    wc = turn_window(entity_col, order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("_new_sess", is_new).withColumn(
+        out_col, F.sum("_new_sess").over(wc).cast("long")
+    ).drop("_new_sess")
+
+
+def with_sliding_norm(
+    df: DataFrame,
+    col: str,
+    win: int = 301,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    center: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling standardization (W4 — ``cep_sliding_norm(win=301)``,
+    IVector.py:348). Default is *trailing* (leakage-safe); ``center=True``
+    reproduces the reference's centered window for offline parity runs.
+    """
+    half = (win - 1) // 2
+    frame = (-half, half) if center else (-(win - 1), 0)
+    w = turn_window(entity_col, order_cols).rowsBetween(*frame)
+    mu = F.avg(col).over(w)
+    sd = F.stddev_samp(col).over(w)
+    return df.withColumn(
+        out_col or f"{col}_slidnorm",
+        F.when(sd > 0, (F.col(col) - mu) / sd).otherwise(F.lit(0.0)),
+    )
+
+
+def with_group_norm(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """Per-conversation standardization — the per-utterance CMVN graft
+    (A3, ``IVector.py:508-514``): group agg + broadcastable join back.
+    Uses an unordered entity window (one shuffle, no sort-by-ts needed
+    beyond what siblings already induce)."""
+    w = Window.partitionBy(entity_col)
+    out = df
+    for c in cols:
+        mu = F.avg(c).over(w)
+        sd = F.stddev_samp(c).over(w)
+        out = out.withColumn(
+            f"{c}_cmvn", F.when(sd > 0, (F.col(c) - mu) / sd).otherwise(F.lit(0.0))
+        )
+    return out
+
+
+def with_deltas(
+    df: DataFrame,
+    col: str,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """First and second backward differences — delta / double-delta
+    (W3, ``FeaGet.py:287-290``), leakage-safe (backward-looking only)."""
+    w = turn_window(entity_col, order_cols)
+    d1 = F.col(col) - F.lag(col, 1).over(w)
+    out = df.withColumn(f"{col}_delta", d1)
+    w2 = turn_window(entity_col, order_cols)
+    return out.withColumn(
+        f"{col}_delta2", F.col(f"{col}_delta") - F.lag(f"{col}_delta", 1).over(w2)
+    )
+
+
+def with_cumulative(
+    df: DataFrame,
+    cols: dict[str, Column],
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Running sums from the start of the conversation (A11 cumulative-sum
+    graft, ``jyh/result.py:48-59``)."""
+    w = turn_window(entity_col, order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for name, expr in cols.items():
+        out = out.withColumn(name, F.sum(expr).over(w))
+    return out

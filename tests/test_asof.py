@@ -1,0 +1,62 @@
+"""As-of / point-in-time join: both physical strategies vs the naive
+pandas spec, plus the temporal-leakage property (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from featureengineer_spark.operators import asof_join, asof_join_pandas
+from featureengineer_spark.oracle import oracle_asof
+
+VALUE_COLS = ["turn_idx", "role", "tool"]
+OUT_KEY = ["conv_id", "anchor_ts"]
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(OUT_KEY + ["turn_idx"], kind="mergesort").reset_index(drop=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("float64")  # null-able compare
+    for c in ("role", "tool"):
+        pdf[c] = pdf[c].where(pdf[c].notna(), None)
+    return pdf[OUT_KEY + ["matched_ts"] + VALUE_COLS]
+
+
+@pytest.fixture(scope="module")
+def expected(transcripts_pdf, anchors_pdf):
+    return _norm(oracle_asof(transcripts_pdf, anchors_pdf, VALUE_COLS))
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_pandas])
+def test_asof_matches_oracle(impl, transcripts, anchors, anchors_pdf, expected):
+    got = impl(
+        transcripts,
+        anchors,
+        value_cols=VALUE_COLS,
+    ).toPandas()
+    assert len(got) == len(anchors_pdf)
+    got = _norm(got)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_pandas])
+def test_asof_strict_excludes_equal_ts(impl, transcripts, anchors, transcripts_pdf, anchors_pdf):
+    got = _norm(
+        impl(transcripts, anchors, value_cols=VALUE_COLS, inclusive=False).toPandas()
+    )
+    exp = _norm(oracle_asof(transcripts_pdf, anchors_pdf, VALUE_COLS, inclusive=False))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_pandas])
+def test_no_temporal_leakage(impl, transcripts, anchors):
+    """Property: no matched feature row has ts > its anchor (the north
+    rule's zero-temporal-leakage gate)."""
+    out = impl(transcripts, anchors, value_cols=VALUE_COLS)
+    leaked = out.filter("matched_ts > anchor_ts").count()
+    assert leaked == 0
+
+
+def test_anchor_before_first_turn_yields_null(transcripts, anchors):
+    out = asof_join(transcripts, anchors, value_cols=VALUE_COLS).toPandas()
+    # every conv got one anchor 1s before its first turn → null match
+    assert out["matched_ts"].isna().sum() >= transcripts.select("conv_id").distinct().count()

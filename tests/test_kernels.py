@@ -1,0 +1,36 @@
+"""Grouped-map featurizer vs pandas oracle — the allclose gate at each
+(conv_id, ts) key (BASELINE.json:metric)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from featureengineer_spark.kernels import FEATURE_DIM, featurize
+from featureengineer_spark.oracle import oracle_features
+
+KEY = ["conv_id", "ts", "turn_idx"]
+
+
+def test_feature_vec_allclose(spark, transcripts, transcripts_pdf):
+    got = featurize(transcripts).toPandas().sort_values(KEY, kind="mergesort")
+    exp = oracle_features(transcripts_pdf).sort_values(KEY, kind="mergesort")
+    assert len(got) == len(exp)
+    gv = np.vstack(got["feature_vec"].to_numpy())
+    ev = np.vstack(exp["feature_vec"].to_numpy())
+    assert gv.shape == (len(exp), FEATURE_DIM)
+    # numpy.allclose default tolerances — the BASELINE.json metric
+    np.testing.assert_allclose(gv, ev, rtol=1e-5, atol=1e-8)
+    # per-turn text-equality invariant under stable ordering: keys align
+    np.testing.assert_array_equal(
+        got["turn_idx"].to_numpy(), exp["turn_idx"].to_numpy()
+    )
+
+
+def test_featurize_deterministic_across_partitionings(spark, transcripts):
+    a = featurize(transcripts.repartition(3)).toPandas().sort_values(KEY, kind="mergesort")
+    b = featurize(transcripts.repartition(17)).toPandas().sort_values(KEY, kind="mergesort")
+    np.testing.assert_allclose(
+        np.vstack(a["feature_vec"].to_numpy()),
+        np.vstack(b["feature_vec"].to_numpy()),
+        rtol=1e-12,
+    )

@@ -1,0 +1,49 @@
+"""Salted (chunked) operators must be exactly equivalent to plain windows
+— the associativity-over-turn-ranges requirement (SURVEY.md §7.3.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from featureengineer_spark.operators import (
+    detect_heavy_keys,
+    salted_rolling_counts,
+    with_cumulative,
+    with_rolling_counts,
+)
+from featureengineer_spark.operators.skew import salted_cumulative
+from featureengineer_spark.operators.windows import default_rolling_predicates
+
+KEY = ["conv_id", "ts", "turn_idx"]
+
+
+def test_detect_heavy_keys(transcripts):
+    heavy = detect_heavy_keys(transcripts, threshold=500).toPandas()
+    assert "conv_0" in set(heavy["conv_id"])  # the mega conversation
+    assert (heavy["count"] > 500).all()
+
+
+def test_salted_rolling_equals_plain(transcripts):
+    preds = default_rolling_predicates()
+    plain = with_rolling_counts(transcripts, preds, window=10).toPandas().sort_values(KEY)
+    salted = (
+        salted_rolling_counts(transcripts, preds, window=10, chunk_size=64)
+        .toPandas()
+        .sort_values(KEY)
+    )
+    for c in preds:
+        np.testing.assert_array_equal(
+            plain[c].to_numpy(), salted[c].to_numpy(), err_msg=c
+        )
+
+
+def test_salted_cumulative_equals_plain(transcripts):
+    cols = {"cum_text_len": F.coalesce(F.length("text"), F.lit(0)).cast("long")}
+    plain = with_cumulative(transcripts, cols).toPandas().sort_values(KEY)
+    salted = (
+        salted_cumulative(transcripts, cols, chunk_size=64).toPandas().sort_values(KEY)
+    )
+    np.testing.assert_array_equal(
+        plain["cum_text_len"].to_numpy(), salted["cum_text_len"].to_numpy()
+    )

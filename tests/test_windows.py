@@ -1,0 +1,83 @@
+"""Window operators vs the pandas oracle (FIXTURES.md §3 columns)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from featureengineer_spark.operators import (
+    with_backfill,
+    with_cumulative,
+    with_inter_turn_latency,
+    with_lags,
+    with_rolling_counts,
+    with_session_ids,
+)
+from featureengineer_spark.operators.windows import default_rolling_predicates
+from featureengineer_spark.oracle import oracle_features
+
+KEY = ["conv_id", "ts", "turn_idx"]
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+
+def build_expected(transcripts_pdf):
+    return _sorted(oracle_features(transcripts_pdf))
+
+
+def test_full_window_stack_matches_oracle(spark, transcripts, transcripts_pdf):
+    exp = build_expected(transcripts_pdf)
+
+    df = with_lags(transcripts, ["role"], offsets=(1,))
+    df = with_inter_turn_latency(df)
+    df = with_session_ids(df, idle_timeout_s=1800.0)
+    df = with_rolling_counts(df, default_rolling_predicates(), window=10)
+    df = with_backfill(df, "tool")
+    df = df.withColumn("text_len", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    df = with_cumulative(df, {"cum_text_len": F.col("text_len")})
+
+    got = _sorted(df.toPandas())
+    assert len(got) == len(exp)
+
+    pd.testing.assert_series_equal(got["lag1_role"], exp["lag1_role"], check_names=False)
+    pd.testing.assert_series_equal(got["lead1_role"], exp["lead1_role"], check_names=False)
+    np.testing.assert_allclose(
+        got["inter_turn_latency_s"].to_numpy(dtype=float),
+        exp["inter_turn_latency_s"].to_numpy(dtype=float),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
+    np.testing.assert_array_equal(got["session_id"].to_numpy(), exp["session_id"].to_numpy())
+    for c in ["rolling_user_turns_10", "rolling_assistant_turns_10", "rolling_tool_calls_10"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(), err_msg=c)
+    pd.testing.assert_series_equal(
+        got["tool_backfilled"], exp["tool_backfilled"], check_names=False
+    )
+    np.testing.assert_array_equal(got["text_len"].to_numpy(), exp["text_len"].to_numpy())
+    np.testing.assert_array_equal(
+        got["cum_text_len"].to_numpy(), exp["cum_text_len"].to_numpy()
+    )
+
+
+def test_short_conversation_edge(spark, transcripts, transcripts_pdf):
+    # conv_1 has exactly 2 turns (< every window length used) — rolling
+    # counts and backfill must still be defined on every row.
+    df = with_rolling_counts(
+        transcripts.filter(F.col("conv_id") == "conv_1"),
+        default_rolling_predicates(),
+        window=10,
+    )
+    got = df.toPandas()
+    assert len(got) == len(transcripts_pdf[transcripts_pdf.conv_id == "conv_1"])
+    assert got["rolling_user_turns_10"].notna().all()
+
+
+def test_rolling_counts_never_exceed_window(transcripts):
+    df = with_rolling_counts(transcripts, default_rolling_predicates(), window=10)
+    tot = (
+        F.col("rolling_user_turns_10")
+        + F.col("rolling_assistant_turns_10")
+    )
+    assert df.filter(tot > 10).count() == 0
