@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+over the driver's deterministic tables; ``oracle_sql()`` holds the ANSI-SQL
+equivalent DuckDB runs on the same parquet. Column names are aliased
+identically on both sides (the driver hashes values under sorted column
+names). Float-valued aggregates are rounded to 6 dp on BOTH sides so
+engine-order summation noise cannot flip the value hash.
+
+The transcript engine's operators are generic over (entity, ts, idx); here
+``events(user_id, ts, event_id, event_type, value, props)`` stands in for
+the transcript shape (user_id≈conv_id, event_type≈role, event_id≈turn_idx).
 """
 
 from __future__ import annotations
@@ -12,27 +17,602 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureengineer_spark.functions.scalars import epoch_seconds
+from featureengineer_spark.operators import (
+    asof_join,
+    with_backfill,
+    with_cumulative,
+    with_deltas,
+    with_group_norm,
+    with_inter_turn_latency,
+    with_lags,
+    with_rolling_counts,
+    with_session_ids,
+    with_sliding_norm,
+)
+
+E = dict(entity_col="user_id", order_cols=("ts", "event_id"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n=6):
+    return F.round(c, n)
+
+
+# ---------------------------------------------------------------- events —
+# window / sequence operators (SURVEY.md §2.5)
+
+def q_lag_lead(spark, sf):
+    df = with_lags(_t(spark, sf, "events"), ["event_type"], offsets=(1,), **E)
+    return df.select("user_id", "event_id", "lag1_event_type", "lead1_event_type")
+
+
+def q_inter_event_latency(spark, sf):
+    df = with_inter_turn_latency(_t(spark, sf, "events"), ts_col="ts", **E)
+    return df.select(
+        "user_id", "event_id", _r(F.col("inter_turn_latency_s")).alias("latency_s")
+    )
+
+
+def q_rolling_counts(spark, sf):
+    df = with_rolling_counts(
+        _t(spark, sf, "events"),
+        {
+            "rolling_purchases_10": F.col("event_type") == "purchase",
+            "rolling_errors_10": F.col("event_type") == "error",
+        },
+        window=10,
+        **E,
+    )
+    return df.select("user_id", "event_id", "rolling_purchases_10", "rolling_errors_10")
+
+
+def q_sessionize(spark, sf):
+    df = with_session_ids(_t(spark, sf, "events"), idle_timeout_s=1800.0, ts_col="ts", **E)
+    return df.select("user_id", "event_id", "session_id")
+
+
+def q_session_stats(spark, sf):
+    df = with_session_ids(_t(spark, sf, "events"), idle_timeout_s=1800.0, ts_col="ts", **E)
+    return df.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        _r(F.sum("value")).alias("sum_value"),
+        _r(epoch_seconds(F.max("ts")) - epoch_seconds(F.min("ts"))).alias("duration_s"),
+    )
+
+
+def q_backfill(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "purchase_props",
+        F.when(F.col("event_type") == "purchase", F.col("props")),
+    )
+    df = with_backfill(ev, "purchase_props", out_col="last_purchase_props", **E)
+    return df.select("user_id", "event_id", "last_purchase_props")
+
+
+def q_cumulative(spark, sf):
+    df = with_cumulative(
+        _t(spark, sf, "events"), {"cum_value": F.col("value")}, **E
+    )
+    return df.select("user_id", "event_id", _r(F.col("cum_value")).alias("cum_value"))
+
+
+def q_delta(spark, sf):
+    df = with_deltas(_t(spark, sf, "events"), "value", **E)
+    return df.select(
+        "user_id",
+        "event_id",
+        _r(F.col("value_delta")).alias("value_delta"),
+        _r(F.col("value_delta2")).alias("value_delta2"),
+    )
+
+
+def q_sliding_norm(spark, sf):
+    df = with_sliding_norm(_t(spark, sf, "events"), "value", win=21, **E)
+    return df.select(
+        "user_id", "event_id", _r(F.col("value_slidnorm")).alias("value_norm")
+    )
+
+
+def q_group_norm(spark, sf):
+    df = with_group_norm(_t(spark, sf, "events"), ["value"], entity_col="user_id")
+    return df.select("user_id", "event_id", _r(F.col("value_cmvn")).alias("value_cmvn"))
+
+
+def q_asof_purchase_click(spark, sf):
+    ev = _t(spark, sf, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("anchor_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        anchors,
+        entity_col="user_id",
+        tie_col="event_id",
+        value_cols=["event_id", "value"],
+        inclusive=False,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("event_id").alias("click_id"),
+        _r(F.col("value")).alias("click_value"),
+    )
+
+
+def q_topk_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "user_id", _r(F.col("value")).alias("value"))
+    )
+
+
+# ------------------------------------------------------- lineitem/orders —
+# relational operators (SURVEY.md §2.2-2.4, 2.6-2.7)
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _r(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def q_anti_join(spark, sf):
+    # customers with no high-value order — the expected-vs-produced audit
+    # pattern (FeaGet.py:116-131): expected list anti-joined on results
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_dedup_keep_min(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("first_orderkey"))
+
+
+def q_union_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.unionByName(urgent).distinct()
+
+
+def q_filters(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.col("p_type").rlike("ECONOMY|PROMO"))
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), _r(F.avg("p_retailprice")).alias("avg_price"))
+    )
+
+
+# ------------------------------------------------- documents/embeddings —
+# training-data pipeline operators (dedup / similarity / text analysis)
+
+def q_doc_token_stats(spark, sf):
+    from featureengineer_spark.operators.textstats import with_token_counts
+
+    return with_token_counts(_t(spark, sf, "documents")).select(
+        "doc_id", "n_chars_computed", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def q_doc_quality(spark, sf):
+    from featureengineer_spark.operators.textstats import with_quality_score
+
+    return with_quality_score(_t(spark, sf, "documents")).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "mean_word_len", "quality_score"
+    )
+
+
+def q_doc_lang_id(spark, sf):
+    from featureengineer_spark.operators.textstats import with_lang_id
+
+    return with_lang_id(_t(spark, sf, "documents")).select(
+        "doc_id", "lang_pred", "lang_hits"
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    from featureengineer_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+def q_dedup_groups(spark, sf):
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.md5(normalize_text(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    from featureengineer_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.4)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+def q_knn_cosine(spark, sf):
+    from featureengineer_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cosine")).alias("cosine")
+    )
+
+
+# rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
+
+def q_minhash_lsh(spark, sf):
+    from featureengineer_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf, "documents"), num_perm=64, bands=16
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+def q_simhash_near_dups(spark, sf):
+    from featureengineer_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_ann_lsh(spark, sf):
+    from featureengineer_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full point-in-time window stack over sf0.001 events."""
+    sf = "/root/testdata/sf0.001"
+    df = with_lags(_t(spark, sf, "events"), ["event_type"], offsets=(1,), **E)
+    df = with_inter_turn_latency(df, ts_col="ts", **E)
+    df = with_session_ids(df, idle_timeout_s=1800.0, ts_col="ts", **E)
+    df = with_rolling_counts(
+        df, {"rolling_purchases_10": F.col("event_type") == "purchase"}, window=10, **E
+    )
+    return df.select(
+        "user_id", "event_id", "ts", "event_type", "lag1_event_type",
+        "inter_turn_latency_s", "session_id", "rolling_purchases_10",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lag_lead": q_lag_lead,
+        "inter_event_latency": q_inter_event_latency,
+        "rolling_counts": q_rolling_counts,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "backfill": q_backfill,
+        "cumulative": q_cumulative,
+        "delta": q_delta,
+        "sliding_norm": q_sliding_norm,
+        "group_norm": q_group_norm,
+        "asof_purchase_click": q_asof_purchase_click,
+        "topk_events": q_topk_events,
+        "pricing_summary": q_pricing_summary,
+        "join_rollup": q_join_rollup,
+        "anti_join": q_anti_join,
+        "dedup_keep_min": q_dedup_keep_min,
+        "union_distinct": q_union_distinct,
+        "filters": q_filters,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_groups": q_dedup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lag_lead": f"""
+            SELECT user_id, event_id,
+                   lag(event_type) OVER ({_W}) AS lag1_event_type,
+                   lead(event_type) OVER ({_W}) AS lead1_event_type
+            FROM events
+        """,
+        "inter_event_latency": f"""
+            SELECT user_id, event_id,
+                   round(epoch(ts - lag(ts) OVER ({_W})), 6) AS latency_s
+            FROM events
+        """,
+        "rolling_counts": f"""
+            SELECT user_id, event_id,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_purchases_10,
+                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_errors_10
+            FROM events
+        """,
+        "sessionize": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts - lag(ts) OVER ({_W})) > 1800 THEN 1 ELSE 0 END AS flag
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM g
+        """,
+        "session_stats": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts - lag(ts) OVER ({_W})) > 1800 THEN 1 ELSE 0 END AS flag
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(epoch(max(ts) - min(ts)), 6) AS duration_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "backfill": f"""
+            SELECT user_id, event_id,
+                   last_value(CASE WHEN event_type='purchase' THEN props END IGNORE NULLS)
+                     OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_props
+            FROM events
+        """,
+        "cumulative": f"""
+            SELECT user_id, event_id,
+                   round(sum(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+            FROM events
+        """,
+        "delta": f"""
+            WITH d AS (
+              SELECT user_id, event_id, ts, value - lag(value) OVER ({_W}) AS d1 FROM events
+            )
+            SELECT user_id, event_id, round(d1, 6) AS value_delta,
+                   round(d1 - lag(d1) OVER ({_W}), 6) AS value_delta2
+            FROM d
+        """,
+        "sliding_norm": f"""
+            SELECT user_id, event_id,
+                   round(CASE WHEN stddev_samp(value) OVER w > 0
+                         THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                         ELSE 0.0 END, 6) AS value_norm
+            FROM events
+            WINDOW w AS ({_W} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        """,
+        "group_norm": """
+            SELECT user_id, event_id,
+                   round(CASE WHEN stddev_samp(value) OVER w > 0
+                         THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                         ELSE 0.0 END, 6) AS value_cmvn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "asof_purchase_click": """
+            WITH anchors AS (
+              SELECT user_id, ts AS anchor_ts, event_id AS purchase_id
+              FROM events WHERE event_type='purchase'
+            ), ranked AS (
+              SELECT a.user_id, a.purchase_id, e.event_id AS click_id,
+                     round(e.value, 6) AS click_value,
+                     row_number() OVER (PARTITION BY a.user_id, a.purchase_id
+                                        ORDER BY e.ts DESC, e.event_id DESC) AS rn
+              FROM anchors a
+              JOIN events e ON e.user_id = a.user_id AND e.event_type='click'
+                            AND e.ts < a.anchor_ts
+            )
+            SELECT a.user_id, a.purchase_id, r.click_id, r.click_value
+            FROM (SELECT user_id, purchase_id FROM anchors) a
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (user_id, purchase_id)
+        """,
+        "topk_events": """
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_rollup": """
+            SELECT n_name, c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 6) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        """,
+        "dedup_keep_min": """
+            SELECT o_custkey, min(o_orderkey) AS first_orderkey
+            FROM orders GROUP BY o_custkey
+        """,
+        "union_distinct": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+              UNION ALL
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "filters": """
+            SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+            FROM part
+            WHERE regexp_matches(p_type, 'ECONOMY|PROMO')
+              AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+              AND p_size >= 10
+            GROUP BY p_brand
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(coalesce(text,'')) AS n_chars_computed,
+                   CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(coalesce(text,''))::DOUBLE AS n,
+                     length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+                     length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS punct,
+                     (CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(coalesce(text,'')), '\s+')) END)::DOUBLE AS words
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN n > 0 THEN punct / n ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN words > 0 THEN alpha / words ELSE 0.0 END AS mean_word_len,
+                     least(n / 200.0, 1.0) AS len_score
+              FROM m
+            )
+            SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(0.35 * len_score + 0.35 * alpha_ratio
+                         + 0.15 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                         + 0.15 * (1.0 - least(punct_ratio * 4, 1.0)), 6) AS quality_score
+            FROM r
+        """,
+        "doc_lang_id": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(coalesce(text,''))), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+                     len(list_filter(ws, x -> x IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+                     len(list_filter(ws, x -> x IN ('le','la','de','et','un','est','que','en'))) AS h_fr,
+                     len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein','zu','in'))) AS h_de
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en,h_es,h_fr,h_de) = 0 THEN 'und'
+                        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                        WHEN h_es >= h_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   greatest(h_en,h_es,h_fr,h_de) AS lang_hits
+            FROM h
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint_md5
+            FROM documents
+        """,
+        "dedup_groups": r"""
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS text_hash,
+                   count(*) AS n_dups, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM w
+            ), e AS (
+              SELECT doc_id, unnest(grams) AS sh FROM g
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+              FROM q CROSS JOIN c WHERE neighbor_id != query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 5
+        """,
+    }

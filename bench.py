@@ -1,0 +1,131 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the flagship
+transcript feature pipeline (window stack + grouped-map featurizer) on a
+deterministic synthetic transcript table, reporting end-to-end throughput
+in turns/sec (the BASELINE.json metric).
+
+Each query is forced through the noop sink so every column is actually
+computed (a bare count() would let Catalyst prune the window projects).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from featureengineer_spark import get_spark  # noqa: E402
+from featureengineer_spark.data import synth_transcripts_spark  # noqa: E402
+from featureengineer_spark.kernels import featurize  # noqa: E402
+from featureengineer_spark.operators import (  # noqa: E402
+    with_backfill,
+    with_inter_turn_latency,
+    with_lags,
+    with_rolling_counts,
+    with_session_ids,
+)
+from featureengineer_spark.operators.windows import default_rolling_predicates  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "join_rollup",
+    "sessionize",
+    "session_stats",
+    "rolling_counts",
+    "backfill",
+    "sliding_norm",
+    "asof_purchase_click",
+    "cumulative",
+]
+
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+BENCH_MEGA = 3
+BENCH_MEGA_LEN = 100_000
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def transcripts_path(tmp: str = "/tmp") -> str:
+    return f"{tmp}/fe_bench_transcripts_c{BENCH_CONVS}_m{BENCH_MEGA}x{BENCH_MEGA_LEN}.parquet"
+
+
+def ensure_transcripts(spark) -> tuple[str, int]:
+    path = transcripts_path()
+    if not os.path.exists(path + "/_SUCCESS"):
+        t = synth_transcripts_spark(
+            spark, n_convs=BENCH_CONVS, mega=BENCH_MEGA, mega_len=BENCH_MEGA_LEN, seed=7
+        )
+        t.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def feature_pipeline(df):
+    """The flagship point-in-time window stack (north-rule operators)."""
+    df = with_lags(df, ["role"], offsets=(1,))
+    df = with_inter_turn_latency(df)
+    df = with_session_ids(df, idle_timeout_s=1800.0)
+    df = with_rolling_counts(df, default_rolling_predicates(), window=10)
+    df = with_backfill(df, "tool")
+    return df
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", app_name="fe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        _noop(df)  # warm: parquet footer reads, JIT, broadcast
+        t0 = time.perf_counter()
+        _noop(df)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship transcript pipeline at bench scale
+    path, n_turns = ensure_transcripts(spark)
+    t = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    _noop(feature_pipeline(t))
+    windows_s = time.perf_counter() - t0
+    timings["transcript_window_stack"] = round(windows_s, 4)
+
+    t0 = time.perf_counter()
+    _noop(featurize(t))
+    feat_s = time.perf_counter() - t0
+    timings["transcript_featurize"] = round(feat_s, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "n_turns": n_turns,
+                "turns_per_sec_window_stack": round(n_turns / windows_s, 1),
+                "turns_per_sec_featurize": round(n_turns / feat_s, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

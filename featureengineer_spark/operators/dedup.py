@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference's only dedup is key-based ``drop_duplicates``
+(``PrepareData.py:647-658``); a transcript/training-data engine needs the
+full ladder: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup. Everything below is pure DataFrame ops (explode → hash → agg →
+self-join) — no Python in the hot path — so each stage is shuffle-bounded
+and scales linearly with corpus size; candidate generation is LSH-bucketed
+so the quadratic pair space is never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace,
+    strip non-alphanumerics."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-text hash; keeps the min-id row per
+    group (deterministic representative). One shuffle on the 64-bit hash
+    — at 100 TB this is the cheapest possible full-corpus dedup."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    keep = df.withColumn("__h", h).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="inner").drop("__h")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates: (text_hash, n_dups, min_doc_id)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _word_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_perm`` seeded hash
+    functions, the min over the doc's shingles. Computed as one explode +
+    one partial-aggregating groupBy (num_perm min() columns) — the
+    classic map-side-combinable formulation."""
+    ex = df.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, shingle)).alias("__sh")
+    )
+    mins = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(seed + p), F.col("__sh"))).alias(f"mh_{p}") for p in range(num_perm)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH on MinHash.
+
+    Signature split into ``bands`` bands of ``num_perm/bands`` rows;
+    docs sharing any band bucket become a candidate pair. The self-join
+    is on (band_idx, band_hash) — buckets are small, so the join output
+    approximates the true near-dup pair set, not n² pairs. Returns
+    (id_a, id_b, n_shared_bands, est_jaccard) with id_a < id_b;
+    est_jaccard is the fraction of matching minhash positions.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.array_join(F.slice("minhash", b * rows + 1, rows), ",")).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.first(F.col("a.minhash")).alias("__ma"),
+            F.first(F.col("b.minhash")).alias("__mb"),
+        )
+    )
+    # est_jaccard = matching minhash positions / num_perm
+    match = F.size(F.filter(F.zip_with("__ma", "__mb", lambda x, y: x == y), lambda m: m))
+    return pairs.select(
+        "id_a", "id_b", "n_shared_bands",
+        (match / F.lit(num_perm)).alias("est_jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Explode words → xxhash64 per word → per-bit signed counts (one
+    conditional sum per bit, map-side combinable) → reassemble sign bits.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
+    ).select(F.col(id_col), F.xxhash64("__w").alias("__h"))
+    bit_sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(bits - 1):  # skip sign bit 63 to stay in signed long
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2 ** b)).otherwise(0)
+    return bit_sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks; two
+    hashes within hamming d < blocks must agree on ≥1 chunk, so the
+    self-join is on (chunk_idx, chunk_value) buckets — never n².
+    """
+    sh = simhash(df, id_col, text_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    inverted-index self-join: explode distinct shingles, join on shingle,
+    count intersections, then |A∪B| = |A|+|B|−|A∩B|. Output
+    (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(_word_shingles(text_col, n)).alias("__sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    Brute-force formulation (id_a < id_b); at corpus scale route through
+    ``similarity.lsh_bucket_candidates`` first to bound the pair space.
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), norm.alias("__norm")
+    ).filter(F.col("__norm") > 0)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (F.col("a.__norm") * F.col("b.__norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data pipelines.
+
+The transcript analog of the reference's per-frame acoustic featurization
+(``FeaGet.py:219-232``): per-document scalar features — token counts,
+quality scores, language-ID heuristic, fingerprints — all built-in
+``pyspark.sql.functions`` expressions (whole-stage codegen; zero Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "in"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + char length."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0))
+    return (
+        df.withColumn("n_chars_computed", F.length(t).cast("long"))
+        .withColumn("n_ws_tokens", ws.cast("long"))
+        .withColumn("n_bpe_tokens", bpe.cast("long"))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    mean word length band, punctuation ratio. Deterministic, composable
+    with filters for corpus curation."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    words = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(0.0)
+    punct_ratio = F.when(n > 0, punct / n).otherwise(0.0)
+    mean_wlen = F.when(words > 0, alpha / words).otherwise(0.0)
+    len_score = F.least(n / 200.0, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+    score = (
+        0.35 * len_score
+        + 0.35 * alpha_ratio
+        + 0.15 * wlen_score
+        + 0.15 * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: the language whose stopword list
+    scores the most word hits wins (ties → lexicographic, 'und' if no
+    hits). Pure map-side expressions — at 100 TB this is a free column."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
+    hits = {
+        lang: F.size(
+            F.filter(words, lambda x: x.isin(*sw))
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    # hits = total stopword occurrences. Argmax with lexicographic tiebreak.
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS, reverse=True):
+        h = hits[lang]
+        best_lang = F.when(h >= best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.greatest(h, best_hits)
+    best_lang = F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+    return df.withColumn("lang_pred", best_lang).withColumn(
+        "lang_hits", best_hits.cast("long")
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity) and
+    a winnowing-style min-shingle hash (rolling content fingerprint,
+    robust to local edits)."""
+    from featureengineer_spark.operators.dedup import _word_shingles, normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    shingle_min = F.array_min(
+        F.transform(_word_shingles(text_col, 3), lambda s: F.xxhash64(s))
+    )
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint_shingle", shingle_min
+    )

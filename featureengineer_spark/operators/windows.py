@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window, WindowSpec
 
+from featureengineer_spark.functions.scalars import epoch_micros
+
 
 def turn_window(
     entity_col: str = "conv_id",
@@ -87,7 +89,7 @@ def with_inter_turn_latency(
     # integer-microsecond subtraction, then scale: exact (casting each
     # timestamp to double first loses ~1e-7 s at 2024 epoch magnitudes)
     return df.withColumn(
-        out_col, (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) / 1e6
+        out_col, (epoch_micros(F.col(ts_col)) - epoch_micros(prev)) / 1e6
     )
 
 
@@ -156,7 +158,7 @@ def with_session_ids(
     split a conversation into sessions.
     """
     w = turn_window(entity_col, order_cols)
-    gap = (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w))) / 1e6
+    gap = (epoch_micros(F.col(ts_col)) - epoch_micros(F.lag(F.col(ts_col)).over(w))) / 1e6
     is_new = F.when(gap > idle_timeout_s, F.lit(1)).otherwise(F.lit(0))
     wc = turn_window(entity_col, order_cols).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("_new_sess", is_new).withColumn(
