@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 from featureengineer_spark import get_spark  # noqa: E402
 from featureengineer_spark.data import synth_transcripts_spark  # noqa: E402
-from featureengineer_spark.kernels import featurize  # noqa: E402
+from featureengineer_spark.kernels import featurize_fast  # noqa: E402
 from featureengineer_spark.operators import (  # noqa: E402
     with_backfill,
     with_inter_turn_latency,
@@ -104,7 +104,7 @@ def main() -> None:
     timings["transcript_window_stack"] = round(windows_s, 4)
 
     t0 = time.perf_counter()
-    _noop(featurize(t))
+    _noop(featurize_fast(t))
     feat_s = time.perf_counter() - t0
     timings["transcript_featurize"] = round(feat_s, 4)
 

@@ -34,3 +34,34 @@ def test_featurize_deterministic_across_partitionings(spark, transcripts):
         np.vstack(b["feature_vec"].to_numpy()),
         rtol=1e-12,
     )
+
+
+def test_featurize_fast_allclose(spark, transcripts, transcripts_pdf):
+    from featureengineer_spark.kernels import featurize_fast
+
+    got = featurize_fast(transcripts, partitions=7).toPandas().sort_values(KEY, kind="mergesort")
+    exp = oracle_features(transcripts_pdf).sort_values(KEY, kind="mergesort")
+    assert len(got) == len(exp)
+    gv = np.vstack(got["feature_vec"].to_numpy())
+    ev = np.vstack(exp["feature_vec"].to_numpy())
+    np.testing.assert_allclose(gv, ev, rtol=1e-5, atol=1e-8)
+
+
+def test_featurize_fast_small_batches_cross_batch_carry(spark, transcripts, transcripts_pdf):
+    """Force tiny Arrow batches so the mega conversation spans many
+    batches — exercises the carry-state path."""
+    from featureengineer_spark.kernels import featurize_fast
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        got = featurize_fast(transcripts, partitions=3).toPandas().sort_values(KEY, kind="mergesort")
+    finally:
+        spark.conf.set(key, prev)
+    exp = oracle_features(transcripts_pdf).sort_values(KEY, kind="mergesort")
+    np.testing.assert_allclose(
+        np.vstack(got["feature_vec"].to_numpy()),
+        np.vstack(exp["feature_vec"].to_numpy()),
+        rtol=1e-5, atol=1e-8,
+    )
