@@ -135,52 +135,47 @@ class _Carry:
         self.x0, self.last_ts = x0, last_ts
 
 
-def _featurize_batch(
-    pdf: pd.DataFrame, proj: np.ndarray, carry: _Carry | None
-) -> tuple[pd.DataFrame, _Carry]:
-    """Vectorized segmented expanding-standardize + project for one Arrow
-    batch (rows sorted by (conv_id, ts, turn_idx); convs contiguous)."""
-    conv = pdf["conv_id"].to_numpy()
-    n = len(conv)
-    ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-
-    is_start = np.empty(n, dtype=bool)
-    is_start[0] = True
-    is_start[1:] = conv[1:] != conv[:-1]
+def _featurize_segmented(
+    is_start: np.ndarray,
+    ts_us: np.ndarray,
+    num_cols: list[np.ndarray],
+    proj: np.ndarray,
+    carry: _Carry | None,
+    conv0,
+    conv_last,
+) -> tuple[np.ndarray, _Carry]:
+    """Segmented expanding-standardize + project over one batch of
+    pre-computed numeric stats. ``is_start[i]`` marks the first row of a
+    conversation within the batch; ``conv0``/``conv_last`` identify the
+    first/last conversation for cross-batch carry."""
+    n = len(ts_us)
     seg_id = np.cumsum(is_start) - 1
     starts = np.flatnonzero(is_start)
-    continuing = carry is not None and conv[0] == carry.conv
+    continuing = carry is not None and conv0 == carry.conv
 
-    # raw stats with segmented gap
-    text = pdf["text"].fillna("")
-    text_len = text.str.len().to_numpy(dtype=np.float64)
-    n_words = text.str.split().str.len().fillna(0).to_numpy(dtype=np.float64)
-    role = pdf["role"].to_numpy()
-    tool_notnull = pdf["tool"].notna().to_numpy(dtype=np.float64)
     gap = np.diff(ts_us, prepend=ts_us[0]) / 1e6
     gap[starts] = 0.0
     if continuing:
         gap[0] = (ts_us[0] - carry.last_ts) / 1e6
+    text_len = num_cols[0]
     x = np.column_stack(
         [
             text_len,
-            n_words,
-            (role == "user").astype(np.float64),
-            (role == "assistant").astype(np.float64),
-            (role == "system").astype(np.float64),
-            tool_notnull,
+            num_cols[1],
+            num_cols[2],
+            num_cols[3],
+            num_cols[4],
+            num_cols[5],
             gap,
             np.log1p(text_len),
         ]
     )
 
-    # per-segment shift base (conv's first row; carried for continuations)
     x0_seg = x[starts].copy()
     if continuing:
         x0_seg[0] = carry.x0
     xs = x - x0_seg[seg_id]
 
-    # segmented cumulative moments with carry-in on segment 0
     c1 = np.cumsum(xs, axis=0)
     c2 = np.cumsum(xs * xs, axis=0)
     base1 = np.zeros_like(x0_seg)
@@ -189,8 +184,7 @@ def _featurize_batch(
     base2[1:] = c2[starts[1:] - 1]
     cums = c1 - base1[seg_id]
     cumq = c2 - base2[seg_id]
-    pos_in_seg = np.arange(n, dtype=np.float64) - starts[seg_id] + 1.0
-    counts = pos_in_seg.copy()
+    counts = np.arange(n, dtype=np.float64) - starts[seg_id] + 1.0
     if continuing:
         first_len = starts[1] if len(starts) > 1 else n
         cums[:first_len] += carry.s
@@ -206,54 +200,219 @@ def _featurize_batch(
     z[counts == 1.0, :] = 0.0
 
     vecs = z @ proj.T
-    out = pd.DataFrame(
-        {
-            "conv_id": conv,
-            "turn_idx": pdf["turn_idx"].to_numpy(),
-            "ts": pdf["ts"].to_numpy(),
-            "feature_vec": list(vecs),
-        }
-    )
     new_carry = _Carry(
-        conv[-1], counts[-1], cums[-1].copy(), cumq[-1].copy(), x0_seg[-1].copy(), ts_us[-1]
+        conv_last, counts[-1], cums[-1].copy(), cumq[-1].copy(), x0_seg[-1].copy(), ts_us[-1]
     )
-    return out, new_carry
+    return vecs, new_carry
 
 
 def featurize_fast(
     df: DataFrame,
     model: FeatureModel | None = None,
     partitions: int | None = None,
+    clustered: bool = False,
 ) -> DataFrame:
-    """Scale-path featurizer: repartition by conv hash, sort within
-    partitions, stream Arrow batches through the segmented kernel.
+    """Scale-path featurizer: JVM-side stat projection, repartition by
+    conv hash, sort within partitions, stream Arrow batches through the
+    segmented kernel.
 
-    Identical semantics to :func:`featurize` but parallelism = #partitions
-    instead of #groups: no per-conversation pandas overhead (the grouped
-    path pays ~1 ms per group — fatal with 10^7 short conversations), and
-    conversations longer than one Arrow batch stream through carry state
-    instead of materializing whole-group. This is the ``array_split`` +
-    running-accumulator pattern of the reference's MPI path
-    (``mpiIV.py:160-214``) expressed as a Spark partition scan.
+    Identical semantics to :func:`featurize` with three scale wins:
+
+    * parallelism = #partitions instead of #groups — no per-conversation
+      pandas overhead (the grouped path pays ~1 ms per group, fatal with
+      10^7 short conversations); conversations longer than one Arrow
+      batch stream through carry state instead of materializing.
+    * the raw per-turn statistics (text length, word count, role one-hot,
+      tool flag) are computed JVM-side BEFORE the shuffle and the text
+      column is dropped, so the exchange and the Arrow boundary move ~40
+      bytes/row instead of the full transcript text — at 100 TB the text
+      never leaves the scan stage.
+    * this is the ``array_split`` + running-accumulator pattern of the
+      reference's MPI path (``mpiIV.py:160-214``) as a partition scan.
     """
     model = model or FeatureModel()
     sc = df.sparkSession.sparkContext
     b_proj = sc.broadcast(model.proj)
     parts = partitions or sc.defaultParallelism * 2
-    prepped = df.repartition(parts, "conv_id").sortWithinPartitions(
-        "conv_id", "ts", "turn_idx"
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(text)
+    pre = df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.length(text).cast("double").alias("__text_len"),
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("double")
+        .alias("__n_words"),
+        (F.col("role") == "user").cast("double").alias("__is_user"),
+        (F.col("role") == "assistant").cast("double").alias("__is_assistant"),
+        (F.col("role") == "system").cast("double").alias("__is_system"),
+        F.col("tool").isNotNull().cast("double").alias("__tool_notnull"),
     )
+    if clustered:
+        # Input is already conv-clustered (Iceberg bucket(N, conv_id)
+        # layout: every conversation wholly inside one input split, the
+        # engine's production table layout) → NO exchange at all; only a
+        # local sort. Caller must ensure file splits don't break a
+        # conversation (bucketed writes + maxPartitionBytes ≥ file size).
+        prepped = pre.sortWithinPartitions("conv_id", "ts", "turn_idx")
+    else:
+        prepped = pre.repartition(parts, "conv_id").sortWithinPartitions(
+            "conv_id", "ts", "turn_idx"
+        )
+
+    num_names = [
+        "__text_len", "__n_words", "__is_user", "__is_assistant",
+        "__is_system", "__tool_notnull",
+    ]
 
     def fn(batches):
+        # mapInArrow: conv_id stays an Arrow buffer (no per-row Python
+        # string objects — that conversion dominated the mapInPandas
+        # profile), numeric columns are zero-copy numpy views, and the
+        # output reuses the input key arrays as-is.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         proj = b_proj.value
         carry: _Carry | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            out, carry = _featurize_batch(pdf, proj, carry)
-            yield out
+            conv = batch.column(0)
+            is_start = np.empty(n, dtype=bool)
+            is_start[0] = True
+            if n > 1:
+                neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+                is_start[1:] = neq.to_numpy(zero_copy_only=False)
+            ts_us = batch.column(2).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            nums = [
+                batch.column(i + 3).to_numpy(zero_copy_only=False)
+                for i in range(len(num_names))
+            ]
+            conv0 = conv[0].as_py()
+            conv_last = conv[n - 1].as_py()
+            vecs, carry = _featurize_segmented(
+                is_start, ts_us, nums, proj, carry, conv0, conv_last
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    conv,
+                    batch.column(1),
+                    batch.column(2),
+                    *[pa.array(np.ascontiguousarray(vecs[:, j])) for j in range(proj.shape[0])],
+                ],
+                names=["conv_id", "turn_idx", "ts"] + [f"f{j}" for j in range(proj.shape[0])],
+            )
 
-    return prepped.mapInPandas(fn, schema=FEATURIZE_SCHEMA)
+    flat_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+        + [T.StructField(f"f{j}", T.DoubleType(), False) for j in range(FEATURE_DIM)]
+    )
+    flat = prepped.mapInArrow(fn, schema=flat_schema)
+    return flat.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.array(*[F.col(f"f{j}") for j in range(FEATURE_DIM)]).alias("feature_vec"),
+    )
+
+
+def featurize_sql(df: DataFrame, model: FeatureModel | None = None) -> DataFrame:
+    """Pure-JVM featurizer: the whole kernel as Window expressions.
+
+    The expanding standardization is cumulative sums/counts (Window
+    frames ending at currentRow) and the dense projection is 64 literal
+    multiply-adds, so the entire pipeline — scan → window moments →
+    projection — stays inside whole-stage codegen: no Arrow boundary, no
+    Python workers, one shuffle. Fastest and most scalable path; the
+    pandas-UDF paths (:func:`featurize`, :func:`featurize_fast`) remain
+    for kernels that genuinely need numpy (the reference's EM/solve
+    stages would).
+
+    Numerically identical formulation to the numpy kernel: shift by the
+    conversation's first row, cumulative moments, ddof=1, zero where
+    count==1 or variance<=0.
+    """
+    from pyspark.sql.window import Window
+
+    model = model or FeatureModel()
+    proj = model.proj
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(text)
+    text_len = F.length(text).cast("double")
+    stats: list = [
+        text_len,
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("double"),
+        (F.col("role") == "user").cast("double"),
+        (F.col("role") == "assistant").cast("double"),
+        (F.col("role") == "system").cast("double"),
+        F.col("tool").isNotNull().cast("double"),
+        None,  # gap, filled below (needs the window)
+        F.log1p(text_len),
+    ]
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(), F.col("turn_idx").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    from featureengineer_spark.functions.scalars import epoch_micros
+
+    gap = (epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))) / 1e6
+    stats[6] = F.coalesce(gap, F.lit(0.0))
+
+    d = len(stats)
+    pre = df.select(
+        "conv_id", "turn_idx", "ts", *[stats[k].alias(f"__s{k}") for k in range(d)]
+    )
+    # shift by first row of the conversation (numerical stability — same
+    # trick as expanding_standardize), then cumulative moments
+    shifted = pre.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.row_number().over(w).cast("double").alias("__n"),
+        *[
+            (F.col(f"__s{k}") - F.first(f"__s{k}").over(wc)).alias(f"__x{k}")
+            for k in range(d)
+        ],
+    )
+    cum = shifted.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "__n",
+        *[F.col(f"__x{k}") for k in range(d)],
+        *[F.sum(f"__x{k}").over(wc).alias(f"__c{k}") for k in range(d)],
+        *[F.sum(F.col(f"__x{k}") * F.col(f"__x{k}")).over(wc).alias(f"__q{k}") for k in range(d)],
+    )
+    n = F.col("__n")
+    zs = []
+    for k in range(d):
+        mean = F.col(f"__c{k}") / n
+        var = (F.col(f"__q{k}") - n * mean * mean) / F.greatest(n - 1, F.lit(1.0))
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        zs.append(
+            F.when((n > 1) & (std > 0), (F.col(f"__x{k}") - mean) / std).otherwise(0.0)
+        )
+    feats = [
+        sum((float(proj[j, k]) * zs[k] for k in range(d)), F.lit(0.0)).alias(f"f{j}")
+        for j in range(proj.shape[0])
+    ]
+    return cum.select("conv_id", "turn_idx", "ts", *feats).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.array(*[F.col(f"f{j}") for j in range(proj.shape[0])]).alias("feature_vec"),
+    )
 
 
 def featurize(df: DataFrame, model: FeatureModel | None = None) -> DataFrame:

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides as a ``binary`` column with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` kernels. The decode step itself is STUBBED
+(no image/audio libraries in this environment): ``fake_decode_features``
+is a deterministic stand-in keyed on the payload bytes, and
+``real_decode_features`` raises ``NotImplementedError`` behind an
+import-try — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested.
+
+This is the engine's generalization of the reference's audio scan →
+MFCC front end (``FeaGet.py:171-285``): opaque per-item payload → fixed
+per-item feature vector via a vectorized per-batch kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+MEDIA_FEATURE_DIM = 16
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature_vec", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def fake_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
+    """Deterministic stand-in for decode + feature-extract: a fixed-dim
+    vector derived from the payload bytes (per-batch vectorized). Swap in
+    a real codec by passing a different ``decode_fn`` with the same
+    signature — the Spark plumbing is unchanged."""
+    out = np.zeros((len(content), MEDIA_FEATURE_DIM), dtype=np.float64)
+    for i, (buf, mod) in enumerate(zip(content, modality)):
+        if buf is None:
+            continue
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if len(arr) == 0:
+            continue
+        chunks = np.array_split(arr.astype(np.float64), MEDIA_FEATURE_DIM - 2)
+        out[i, : MEDIA_FEATURE_DIM - 2] = [c.mean() if len(c) else 0.0 for c in chunks]
+        out[i, -2] = float(len(arr))
+        out[i, -1] = float(hash(mod) % 997)
+    return out
+
+
+def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
+    """Real decode path — requires image/audio codecs not present in this
+    container. Gated behind import-try; raises with a clear message."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decode needs codec libraries (PIL/torchaudio/av) "
+            "that are not installed; use fake_decode_features or install codecs"
+        ) from e
+    raise NotImplementedError("real decode not implemented in this environment")
+
+
+def extract_media_features(
+    df: DataFrame,
+    decode_fn: Callable[[pd.Series, pd.Series], np.ndarray] = fake_decode_features,
+    partitions: int | None = None,
+) -> DataFrame:
+    """media table → per-item feature vectors, Arrow-batched.
+
+    Repartition by ``media_id`` hash spreads large payloads; each Arrow
+    batch is decoded as one vectorized call. At cluster scale, payload
+    bytes stay columnar Arrow buffers end-to-end (no per-row Python
+    objects besides the decode loop the codec itself requires).
+    """
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    prepped = df.repartition(parts, "media_id")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = decode_fn(pdf["content"], pdf["modality"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature_vec": list(vecs),
+                }
+            )
+
+    return prepped.mapInPandas(fn, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: explode a frame index grid
+    from metadata (decode of the actual frame bytes is the stubbed step).
+    Pure JVM explode — the 1→N expansion shape of the reference's frame
+    loop (``FeaGet.py:211-232``)."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    return df.select(
+        id_col,
+        "modality",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    ).filter(F.col("modality") == "video")

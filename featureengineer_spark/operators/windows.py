@@ -109,12 +109,15 @@ def with_rolling_counts(
         {"rolling_assistant_turns_10": F.col("role") == "assistant"}
     """
     w = turn_window(entity_col, order_cols).rowsBetween(-(window - 1), 0)
-    out = df
-    for name, pred in predicates.items():
-        out = out.withColumn(
-            name, F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).over(w)
-        )
-    return out
+    # single projection → Catalyst fuses all sums into ONE Window node
+    # (sequential withColumn produces one Window pass per predicate)
+    return df.select(
+        "*",
+        *[
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).over(w).alias(name)
+            for name, pred in predicates.items()
+        ],
+    )
 
 
 def default_rolling_predicates() -> dict[str, Column]:
@@ -236,7 +239,6 @@ def with_cumulative(
     """Running sums from the start of the conversation (A11 cumulative-sum
     graft, ``jyh/result.py:48-59``)."""
     w = turn_window(entity_col, order_cols).rowsBetween(Window.unboundedPreceding, 0)
-    out = df
-    for name, expr in cols.items():
-        out = out.withColumn(name, F.sum(expr).over(w))
-    return out
+    return df.select(
+        "*", *[F.sum(expr).over(w).alias(name) for name, expr in cols.items()]
+    )

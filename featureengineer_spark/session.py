@@ -63,7 +63,7 @@ def get_spark(
         # per batch — graft of the reference's batch_size=300 discipline
         # (IVector.py:194-195).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
         # Deterministic timestamp semantics across Spark/pandas/DuckDB.
         "spark.sql.session.timeZone": "UTC",
         # Small dims broadcast automatically; explicit broadcast() hints

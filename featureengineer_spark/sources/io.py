@@ -1,0 +1,92 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+=====================  ============================================  =====================
+engine function        reference concept                             reference evidence
+=====================  ============================================  =====================
+read_csv_spine         regex-delimited CSV key scans                 PrepareData.py:157 etc.
+write_transcripts_...  HDF5 group-per-segment store                  FeaGet.py:259-284
+read_transcripts       HDF5 keyed read + dataset pruning             IVector.py:346-355
+compact_small_files    10k-file HDF5 consolidation                   DataInteger.py:150-165
+=====================  ============================================  =====================
+
+The transcript store uses the Iceberg physical layout — ``days(ts)`` ×
+``bucket(N, conv_id)`` partitioning — emulated as plain parquet directory
+partitions (no Iceberg runtime jar is available offline; swapping
+``write.partitionBy`` for ``writeTo(...).partitionedBy(days(ts),
+bucket(N, conv_id))`` is a one-line change when it is). Partition pruning
+on both dimensions is exercised by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_transcripts_partitioned(
+    df: DataFrame,
+    path: str,
+    conv_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write the transcript table in Iceberg layout: day × conv-bucket.
+
+    ``ts_day`` gives temporal partition pruning for ts-range scans;
+    ``conv_bucket = pmod(xxhash64(conv_id), N)`` co-locates each
+    conversation so per-conversation stages can prune to one bucket and
+    as-of joins can use storage-partitioned joins on a real Iceberg
+    catalog."""
+    out = df.withColumn("ts_day", F.date_trunc("day", F.col("ts")).cast("date")).withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(conv_buckets)).cast("int")
+    )
+    out.write.mode(mode).partitionBy("ts_day", "conv_bucket").parquet(path)
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the partitioned transcript store, dropping the physical
+    partition columns (they are derivable)."""
+    return spark.read.parquet(path).drop("ts_day", "conv_bucket")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_files: int,
+) -> int:
+    """Small-file compaction: many small parquet files → ``target_files``
+    larger ones (the reference consolidates 10,000 HDF5 files per output,
+    ``DataInteger.py:150-165``; Iceberg's ``rewrite_data_files`` is the
+    managed equivalent). Returns rows written."""
+    df = spark.read.parquet(in_path)
+    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path).count()
+
+
+def read_csv_spine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV key-table scan with DECLARED schema (never inferred in
+    production paths) — the reference's ``pd.read_csv(..., delimiter=
+    ',|\\s*', header=None)`` sites with regex delimiters are handled by
+    reading lines and splitting when ``sep`` is a regex."""
+    if len(sep) == 1:
+        return spark.read.csv(path, schema=schema, sep=sep, header=header)
+    # regex delimiter: read raw lines, split, project into the schema
+    raw = spark.read.text(path)
+    if header:
+        raw = raw.withColumn("__rn", F.monotonically_increasing_id()).filter(
+            F.col("__rn") > 0
+        ).drop("__rn")
+    parts = F.split(F.col("value"), sep)
+    struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    cols = [
+        F.element_at(parts, i + 1).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(struct.fields)
+    ]
+    return raw.select(*cols)

@@ -65,3 +65,33 @@ def test_featurize_fast_small_batches_cross_batch_carry(spark, transcripts, tran
         np.vstack(exp["feature_vec"].to_numpy()),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_featurize_sql_allclose(spark, transcripts, transcripts_pdf):
+    from featureengineer_spark.kernels import featurize_sql
+
+    got = featurize_sql(transcripts).toPandas().sort_values(KEY, kind="mergesort")
+    exp = oracle_features(transcripts_pdf).sort_values(KEY, kind="mergesort")
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(
+        np.vstack(got["feature_vec"].to_numpy()),
+        np.vstack(exp["feature_vec"].to_numpy()),
+        rtol=1e-5, atol=1e-8,
+    )
+
+
+def test_featurize_fast_clustered_allclose(spark, transcripts, transcripts_pdf, tmp_path):
+    """clustered=True over a conv-bucketed store (no exchange) must match."""
+    from featureengineer_spark.kernels import featurize_fast
+
+    path = str(tmp_path / "clustered")
+    transcripts.repartition(5, "conv_id").write.parquet(path)
+    t = spark.read.parquet(path)
+    got = featurize_fast(t, clustered=True).toPandas().sort_values(KEY, kind="mergesort")
+    exp = oracle_features(transcripts_pdf).sort_values(KEY, kind="mergesort")
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(
+        np.vstack(got["feature_vec"].to_numpy()),
+        np.vstack(exp["feature_vec"].to_numpy()),
+        rtol=1e-5, atol=1e-8,
+    )

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, batch shape, deterministic stub decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from featureengineer_spark.operators.multimodal import (
+    MEDIA_FEATURE_DIM,
+    MEDIA_SCHEMA,
+    extract_media_features,
+    real_decode_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(50):
+        mod = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(10, 500))).tolist())
+        meta = (64, 64, None, None, "image/png")
+        if mod == "audio":
+            meta = (None, None, 16000, None, "audio/wav")
+        if mod == "video":
+            meta = (320, 240, None, 100, "video/mp4")
+        rows.append((i, mod, payload, meta))
+    rows.append((99, "image", None, (None, None, None, None, None)))  # null payload
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).cache()
+
+
+def test_extract_media_features_shape_and_determinism(spark, media):
+    a = extract_media_features(media).toPandas().sort_values("media_id")
+    b = extract_media_features(media, partitions=3).toPandas().sort_values("media_id")
+    assert len(a) == media.count()
+    assert all(len(v) == MEDIA_FEATURE_DIM for v in a["feature_vec"])
+    np.testing.assert_allclose(
+        np.vstack(a["feature_vec"].to_numpy()),
+        np.vstack(b["feature_vec"].to_numpy()),
+        rtol=1e-12,
+    )
+    null_row = a[a["media_id"] == 99].iloc[0]
+    assert null_row["n_bytes"] == 0
+    assert np.allclose(null_row["feature_vec"], 0.0)
+
+
+def test_real_decode_is_cleanly_stubbed(media):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_decode_features(pd.Series([b"x"]), pd.Series(["image"]))
+
+
+def test_sample_frames_grid(spark, media):
+    frames = sample_frames(media, every_n=10).toPandas()
+    vids = media.filter("modality = 'video'").count()
+    assert set(frames["modality"]) == {"video"}
+    assert len(frames) == vids * 10  # 100 frames sampled every 10
+    assert frames.groupby("media_id")["frame_idx"].max().eq(90).all()

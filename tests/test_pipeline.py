@@ -1,0 +1,100 @@
+"""Checkpoint manifest + exact resume (SURVEY.md §5.4): kill mid-pipeline,
+restart, identical output, completed stages not recomputed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from featureengineer_spark.operators import with_rolling_counts, with_session_ids
+from featureengineer_spark.operators.windows import default_rolling_predicates
+from featureengineer_spark.plans import FeaturePipeline, read_manifest
+
+KEY = ["conv_id", "ts", "turn_idx"]
+
+
+def _build(spark, transcripts, root, fail_stage2=False):
+    def stage2(df):
+        if fail_stage2:
+            raise RuntimeError("simulated mid-pipeline crash")
+        return with_rolling_counts(df, default_rolling_predicates(), window=10)
+
+    return (
+        FeaturePipeline(spark, root=str(root))
+        .source(lambda s: transcripts, fingerprint="fixture-v1")
+        .stage("sessionized", lambda df: with_session_ids(df, idle_timeout_s=1800.0))
+        .stage("rolling", stage2)
+        .stage(
+            "final",
+            lambda df: df.withColumn(
+                "text_len", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+            ),
+        )
+    )
+
+
+def test_resume_after_crash(spark, transcripts, tmp_path):
+    root = tmp_path / "ckpt"
+    # first attempt crashes in stage 2: stage 1 committed, rest missing
+    with pytest.raises(RuntimeError, match="simulated"):
+        _build(spark, transcripts, root, fail_stage2=True).run()
+    m1 = read_manifest(str(root), "sessionized")
+    assert m1 is not None and m1.total_rows == transcripts.count()
+    assert read_manifest(str(root), "rolling") is None
+
+    # restart: stage 1 resumed (not recomputed), stages 2-3 computed
+    pipe = _build(spark, transcripts, root)
+    out = pipe.run()
+    assert pipe.executed == ["rolling", "final"]
+
+    # identical to a fresh, uncheckpointed run
+    fresh = _build(spark, transcripts, tmp_path / "fresh").run()
+    a = out.toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    b = fresh.toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+    # a third run resumes everything
+    pipe3 = _build(spark, transcripts, root)
+    pipe3.run()
+    assert pipe3.executed == []
+
+
+def test_manifest_lineage_invalidation(spark, transcripts, tmp_path):
+    root = tmp_path / "ckpt2"
+    _build(spark, transcripts, root).run()
+    # changing the source fingerprint invalidates every stage
+    pipe = _build(spark, transcripts, root)
+    pipe._source_fingerprint = "fixture-v2"
+    pipe.run()
+    assert pipe.executed == ["sessionized", "rolling", "final"]
+
+
+def test_validate_reports_ok(spark, transcripts, tmp_path):
+    root = tmp_path / "ckpt3"
+    pipe = _build(spark, transcripts, root)
+    pipe.run()
+    report = pipe.validate()
+    assert all(v["status"] == "ok" for v in report.values()), report
+
+
+def test_leakage_validator(spark, transcripts, anchors):
+    from featureengineer_spark.operators import asof_join
+    from featureengineer_spark.validation import assert_no_leakage, leakage_violations
+
+    out = asof_join(transcripts, anchors, value_cols=["turn_idx", "role"])
+    assert leakage_violations(out).count() == 0
+    assert_no_leakage(out)
+
+
+def test_spine_validator(spark, transcripts):
+    from featureengineer_spark.validation import spine_violations
+
+    assert spine_violations(transcripts).count() == 0
+    # inject a duplicate turn_idx
+    bad = transcripts.unionByName(transcripts.limit(1))
+    v = spine_violations(bad).toPandas()
+    assert len(v) > 0 and (v["violation"] == "duplicate_turn_idx").any()

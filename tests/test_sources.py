@@ -1,0 +1,61 @@
+"""Sources/sinks: partitioned layout, partition pruning, compaction, CSV."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from featureengineer_spark.sources import (
+    compact_small_files,
+    read_csv_spine,
+    read_transcripts,
+    write_transcripts_partitioned,
+)
+
+KEY = ["conv_id", "ts", "turn_idx"]
+
+
+def test_partitioned_roundtrip_and_pruning(spark, transcripts, transcripts_pdf, tmp_path):
+    path = str(tmp_path / "store")
+    write_transcripts_partitioned(transcripts, path, conv_buckets=8)
+
+    back = read_transcripts(spark, path)
+    a = back.toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    b = transcripts_pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+    # day filter must prune at the partition level, not post-scan
+    pruned = spark.read.parquet(path).filter(F.col("ts_day") == "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ts_day" in plan
+    # and a conv-bucket point lookup prunes to 1/8 of the buckets
+    one = spark.read.parquet(path).filter(F.col("conv_bucket") == 3)
+    n_files = one.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
+
+
+def test_compaction(spark, transcripts, tmp_path):
+    small = str(tmp_path / "small")
+    transcripts.repartition(40).write.parquet(small)
+    big = str(tmp_path / "big")
+    n = compact_small_files(spark, small, big, target_files=4)
+    assert n == transcripts.count()
+    import glob
+
+    assert len(glob.glob(big + "/*.parquet")) == 4
+
+
+def test_csv_spine_regex_delimiter(spark, tmp_path):
+    p = tmp_path / "keys.csv"
+    p.write_text("spk1,seg1  10 20\nspk2,seg2  30 40\n")
+    df = read_csv_spine(
+        spark,
+        str(p),
+        schema="speaker string, segment string, start long, stop long",
+        sep=r",|\s+",
+    )
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("spk1", "seg1", 10, 20), ("spk2", "seg2", 30, 40)}
