@@ -223,6 +223,70 @@ def q_filters(spark, sf):
     )
 
 
+def q_left_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name",
+        _r(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+
+
+def q_except_all(spark, sf):
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.exceptAll(urgent)
+
+
+def q_count_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top1_per_user(spark, sf):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", _r(F.col("value")).alias("value"))
+    )
+
+
+def q_deterministic_crop(spark, sf):
+    from featureengineer_spark.operators.windows import with_deterministic_crop
+
+    # W7 graft with an arithmetic offset both engines can compute:
+    # offset = (user_id * 2654435761) % (n - k + 1)
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    k = 5
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wc = Window.partitionBy("user_id")
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wc)
+    span = F.greatest(n - k + 1, F.lit(1)).cast("long")
+    off = F.pmod(F.col("user_id") * F.lit(2654435761), span)
+    return (
+        ev.withColumn("__rn", rn)
+        .withColumn("__off", off)
+        .filter((F.col("__rn") > F.col("__off")) & (F.col("__rn") <= F.col("__off") + k))
+        .select("user_id", "event_id")
+    )
+
+
 # ------------------------------------------------- documents/embeddings —
 # training-data pipeline operators (dedup / similarity / text analysis)
 
@@ -354,6 +418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min": q_dedup_keep_min,
         "union_distinct": q_union_distinct,
         "filters": q_filters,
+        "left_join": q_left_join,
+        "except_all": q_except_all,
+        "count_distinct": q_count_distinct,
+        "top1_per_user": q_top1_per_user,
+        "deterministic_crop": q_deterministic_crop,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -513,6 +582,41 @@ def oracle_sql() -> dict[str, str]:
               AND p_brand IN ('Brand#1','Brand#2','Brand#3')
               AND p_size >= 10
             GROUP BY p_brand
+        """,
+        "left_join": """
+            SELECT o_orderkey, o_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+            FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+            ON o_custkey = c_custkey
+        """,
+        "except_all": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "count_distinct": """
+            SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top1_per_user": f"""
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn = 1
+        """,
+        "deterministic_crop": f"""
+            WITH r AS (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER ({_W}) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            )
+            SELECT user_id, event_id FROM r
+            WHERE rn > (user_id * 2654435761) % greatest(n - 4, 1)
+              AND rn <= (user_id * 2654435761) % greatest(n - 4, 1) + 5
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -128,3 +128,104 @@ def salted_cumulative(
         joined = joined.withColumn(name, F.col(f"__local_{name}") + F.col(f"__off_{name}"))
     drop = ["__chunk"] + [f"__{p}_{n}" for n in named for p in ("v", "local", "off")]
     return joined.drop(*drop)
+
+
+def salted_session_ids(
+    df: DataFrame,
+    idle_timeout_s: float = 1800.0,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization with salted parallelism (two-pass scan).
+
+    Pass 1 computes per-chunk new-session flags (the chunk-boundary gap
+    uses a carried last-ts from the previous chunk, obtained by
+    replicating each chunk's last row forward — same carry-in trick as
+    ``salted_rolling_counts``); pass 2 is the distributed prefix sum of
+    flags via ``salted_cumulative``. Exact equivalent of
+    ``with_session_ids`` with bounded task size.
+    """
+    from featureengineer_spark.functions.scalars import epoch_micros
+
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    own = df.withColumn("__chunk", chunk).withColumn("__carry", F.lit(False))
+    carry = (
+        df.withColumn("__chunk", chunk + 1)
+        .withColumn("__carry", F.lit(True))
+        .filter(F.col(idx_col).cast("long") % chunk_size == chunk_size - 1)
+    )
+    unioned = own.unionByName(carry)
+    w = Window.partitionBy(entity_col, "__chunk").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    gap = (epoch_micros(F.col(ts_col)) - epoch_micros(F.lag(F.col(ts_col)).over(w))) / 1e6
+    flagged = (
+        unioned.withColumn(
+            "__flag", F.when(gap > idle_timeout_s, F.lit(1)).otherwise(F.lit(0))
+        )
+        .filter(~F.col("__carry"))
+        .drop("__chunk", "__carry")
+    )
+    out = salted_cumulative(
+        flagged,
+        {out_col: F.col("__flag")},
+        chunk_size=chunk_size,
+        entity_col=entity_col,
+        idx_col=idx_col,
+        order_cols=order_cols,
+    )
+    return out.withColumn(out_col, F.col(out_col).cast("long")).drop("__flag")
+
+
+def salted_backfill(
+    df: DataFrame,
+    col: str,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """last-non-null forward fill with salted parallelism.
+
+    Pass 1: within-chunk backfill + per-chunk last non-null value.
+    Pass 2: per-entity backfill OVER the tiny chunk-summary table gives
+    each chunk its carry-in, joined back to fill leading nulls. Exact
+    equivalent of ``with_backfill`` with bounded task size.
+    """
+    out_name = out_col or f"{col}_backfilled"
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    base = df.withColumn("__chunk", chunk)
+    w_in = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("__local_fill", F.last(col, ignorenulls=True).over(w_in))
+
+    chunk_last = base.groupBy(entity_col, "__chunk").agg(
+        F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(*[F.col(c).alias(f"o_{c}") for c in order_cols], F.col(col).alias("v")),
+            )
+        ).alias("__last_struct")
+    )
+    w_scan = (
+        Window.partitionBy(entity_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = chunk_last.select(
+        entity_col,
+        "__chunk",
+        F.last("__last_struct", ignorenulls=True).over(w_scan)["v"].alias("__carry_val"),
+    )
+    joined = local.join(carries, on=[entity_col, "__chunk"], how="left")
+    return joined.withColumn(
+        out_name, F.coalesce(F.col("__local_fill"), F.col("__carry_val"))
+    ).drop("__chunk", "__local_fill", "__carry_val")

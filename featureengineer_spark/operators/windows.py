@@ -242,3 +242,63 @@ def with_cumulative(
     return df.select(
         "*", *[F.sum(expr).over(w).alias(name) for name, expr in cols.items()]
     )
+
+
+def with_ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float = 0.2,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per entity — the first-order
+    IIR temporal filter graft (W5: RASTA band-pass, ``FeaGet.py:52``).
+
+    A linear recurrence needs a sequential scan within each ordered
+    group, which no Window frame expresses; implemented as a grouped-map
+    pandas kernel using the C-vectorized ``Series.ewm`` (adjust=False:
+    y[t] = (1-α)·y[t-1] + α·x[t]). Leakage-safe (backward-looking).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    name = out_col or f"{col}_ewma"
+    fields = df.schema.fields + [T.StructField(name, T.DoubleType(), True)]
+    schema = T.StructType(fields)
+    sort_cols = list(order_cols)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[name] = pdf[col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(entity_col).applyInPandas(fn, schema=schema)
+
+
+def with_deterministic_crop(
+    df: DataFrame,
+    length: int,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    salt: int = 2654435761,
+) -> DataFrame:
+    """Fixed-length contiguous crop per entity at a deterministic,
+    hash-derived offset — the seeded random fixed-length crop graft
+    (W7, ``DataInteger.py:383-388``) made reproducible: offset =
+    hash(entity) mod (n - length + 1). Entities shorter than ``length``
+    are returned whole (the reference tiles them; tiling is a downstream
+    concern)."""
+    w = turn_window(entity_col, order_cols)
+    wc = Window.partitionBy(entity_col)
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wc)
+    span = F.greatest(n - length + 1, F.lit(1))
+    off = F.pmod(F.xxhash64(F.lit(salt), F.col(entity_col)), span)
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__off", off)
+        .filter((F.col("__rn") > F.col("__off")) & (F.col("__rn") <= F.col("__off") + length))
+        .drop("__rn", "__off")
+    )

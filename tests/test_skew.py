@@ -47,3 +47,29 @@ def test_salted_cumulative_equals_plain(transcripts):
     np.testing.assert_array_equal(
         plain["cum_text_len"].to_numpy(), salted["cum_text_len"].to_numpy()
     )
+
+
+def test_salted_session_ids_equals_plain(transcripts):
+    from featureengineer_spark.operators import with_session_ids
+    from featureengineer_spark.operators.skew import salted_session_ids
+
+    plain = with_session_ids(transcripts, idle_timeout_s=1800.0).toPandas().sort_values(KEY)
+    salted = (
+        salted_session_ids(transcripts, idle_timeout_s=1800.0, chunk_size=64)
+        .toPandas()
+        .sort_values(KEY)
+    )
+    np.testing.assert_array_equal(
+        plain["session_id"].to_numpy(), salted["session_id"].to_numpy()
+    )
+
+
+def test_salted_backfill_equals_plain(transcripts):
+    from featureengineer_spark.operators import with_backfill
+    from featureengineer_spark.operators.skew import salted_backfill
+
+    plain = with_backfill(transcripts, "tool").toPandas().sort_values(KEY)
+    salted = salted_backfill(transcripts, "tool", chunk_size=64).toPandas().sort_values(KEY)
+    a = plain["tool_backfilled"].where(plain["tool_backfilled"].notna(), None).to_numpy()
+    b = salted["tool_backfilled"].where(salted["tool_backfilled"].notna(), None).to_numpy()
+    np.testing.assert_array_equal(a, b)

@@ -81,3 +81,41 @@ def test_rolling_counts_never_exceed_window(transcripts):
         + F.col("rolling_assistant_turns_10")
     )
     assert df.filter(tot > 10).count() == 0
+
+
+def test_ewma_matches_pandas(spark, transcripts, transcripts_pdf):
+    from featureengineer_spark.operators.windows import with_ewma
+
+    t = transcripts.withColumn("text_len", F.coalesce(F.length("text"), F.lit(0)).cast("double"))
+    got = with_ewma(t, "text_len", alpha=0.3).toPandas()
+    got = got.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    p = transcripts_pdf.copy()
+    p["text_len"] = p["text"].fillna("").str.len().astype(float)
+    p = p.sort_values(KEY, kind="mergesort")
+    exp = (
+        p.groupby("conv_id", sort=False)["text_len"]
+        .apply(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+        .reset_index(drop=True)
+    )
+    p = p.reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["text_len_ewma"].to_numpy(), exp.to_numpy(), rtol=1e-9
+    )
+
+
+def test_deterministic_crop(spark, transcripts):
+    from featureengineer_spark.operators.windows import with_deterministic_crop
+
+    crop = with_deterministic_crop(transcripts, length=8)
+    sizes = crop.groupBy("conv_id").count().toPandas()
+    orig = transcripts.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    for _, r in sizes.iterrows():
+        expected = min(8, orig[r["conv_id"]])
+        assert r["count"] == expected, r
+    # deterministic across partitionings
+    a = crop.toPandas().sort_values(KEY).reset_index(drop=True)
+    b = (
+        with_deterministic_crop(transcripts.repartition(13), length=8)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    assert a[["conv_id", "turn_idx"]].equals(b[["conv_id", "turn_idx"]])
