@@ -355,6 +355,51 @@ def q_knn_cosine(spark, sf):
     )
 
 
+def _trial_frames(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    enroll = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("enroll_id"), "embedding", F.col("label").alias("e_label")
+    )
+    test = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("test_id"), "embedding", F.col("label").alias("t_label")
+    )
+    trials = (
+        enroll.select("enroll_id", "e_label")
+        .crossJoin(test.select("test_id", "t_label"))
+        .filter((F.col("enroll_id") * 7 + F.col("test_id")) % 5 == 0)
+        .select(
+            "enroll_id",
+            "test_id",
+            (F.col("e_label") == F.col("t_label")).alias("is_target"),
+        )
+    )
+    return enroll.drop("e_label"), test.drop("t_label"), trials
+
+
+def q_trial_scores(spark, sf):
+    from featureengineer_spark.operators.scoring import score_trials
+
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = score_trials(enroll, test, trials)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
+def q_det_curve(spark, sf):
+    from featureengineer_spark.operators.scoring import det_curve, score_trials
+
+    enroll, test, trials = _trial_frames(spark, sf)
+    det = det_curve(score_trials(enroll, test, trials))
+    return det.select(
+        _r(F.col("threshold")).alias("threshold"),
+        _r(F.col("miss_rate")).alias("miss_rate"),
+        _r(F.col("fa_rate")).alias("fa_rate"),
+    )
+
+
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
 
 def q_minhash_lsh(spark, sf):
@@ -430,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
+        "trial_scores": q_trial_scores,
+        "det_curve": q_det_curve,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
@@ -705,6 +752,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "trial_scores": """
+            WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el
+                       FROM embeddings WHERE vec_id < 20),
+            t AS (SELECT vec_id AS test_id, embedding::DOUBLE[] AS tv, label AS tl
+                  FROM embeddings WHERE vec_id >= 20)
+            SELECT enroll_id, test_id, (el = tl) AS is_target,
+                   round(list_cosine_similarity(ev, tv), 6) AS score
+            FROM e CROSS JOIN t
+            WHERE (enroll_id * 7 + test_id) % 5 = 0
+        """,
+        "det_curve": """
+            WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el
+                       FROM embeddings WHERE vec_id < 20),
+            t AS (SELECT vec_id AS test_id, embedding::DOUBLE[] AS tv, label AS tl
+                  FROM embeddings WHERE vec_id >= 20),
+            s AS (
+              SELECT (el = tl) AS is_target,
+                     list_cosine_similarity(ev, tv) AS score
+              FROM e CROSS JOIN t
+              WHERE (enroll_id * 7 + test_id) % 5 = 0
+            ), tot AS (
+              SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tar,
+                     sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS n_non
+              FROM s
+            ), c AS (
+              SELECT score, is_target,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                       OVER (ORDER BY score DESC, is_target DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tar,
+                     sum(CASE WHEN is_target THEN 0 ELSE 1 END)
+                       OVER (ORDER BY score DESC, is_target DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_non
+              FROM s
+            )
+            SELECT round(score, 6) AS threshold,
+                   round(1.0 - cum_tar * 1.0 / n_tar, 6) AS miss_rate,
+                   round(cum_non * 1.0 / n_non, 6) AS fa_rate
+            FROM c CROSS JOIN tot
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

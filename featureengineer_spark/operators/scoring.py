@@ -1,0 +1,119 @@
+"""Trial scoring and DET/EER evaluation (SURVEY.md §2.3 J8, §2.6 O1/O2,
+§2.4 A11).
+
+The reference scores every (enroll model × test segment) pair admitted by
+the ndx trial mask with cosine/2cov/PLDA kernels (``IVector.py:1324-1390``)
+and evaluates with DET curves / EER over sorted cumulative error rates
+(``jyh/result.py:34-77``). Here:
+
+* the dense boolean trial matrix becomes a **long-form trial table**
+  ``(enroll_id, test_id, is_target)`` — never materialized dense;
+* scoring = inner join on the trial table + a JVM-side cosine over the
+  embedding arrays (``zip_with``/``aggregate`` — no Python);
+* DET/EER = one global sort of scores + cumulative sums via Window —
+  the ``DETsort`` + ``np.cumsum`` pipeline as two Window expressions.
+
+At 100 TB the trial table is the pruning structure: the join's shuffle is
+bounded by |trials|, not |enroll|×|test|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm(c) -> F.Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def score_trials(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    enroll_id: str = "enroll_id",
+    test_id: str = "test_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-score exactly the pairs named by the trial table.
+
+    ``enroll``/``test``: (id, embedding array); ``trials``:
+    (enroll_id, test_id[, is_target]). Returns trials + ``score``.
+    Both sides are joined by id (broadcast when small), the per-pair
+    cosine runs inside codegen.
+    """
+    e = enroll.select(
+        F.col(enroll.columns[0]).alias(enroll_id),
+        F.col(vec_col).alias("__ev"),
+        _norm(vec_col).alias("__en"),
+    )
+    t = test.select(
+        F.col(test.columns[0]).alias(test_id),
+        F.col(vec_col).alias("__tv"),
+        _norm(vec_col).alias("__tn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ev", "__tv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    out = (
+        trials.join(e, on=enroll_id, how="inner")
+        .join(t, on=test_id, how="inner")
+        .withColumn(
+            "score",
+            F.when(
+                (F.col("__en") > 0) & (F.col("__tn") > 0),
+                dot / (F.col("__en") * F.col("__tn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__ev", "__en", "__tv", "__tn")
+    )
+    return out
+
+
+def det_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    target_col: str = "is_target",
+) -> DataFrame:
+    """DET operating points: for each distinct threshold (= each score,
+    descending), the miss rate P(score < thr | target) and false-alarm
+    rate P(score >= thr | non-target).
+
+    One global sort + two cumulative Window sums — the distributed form
+    of ``jyh/result.py:48-59``. Ties broken by (score, is_target) for
+    determinism.
+    """
+    totals = scored.agg(
+        F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("n_tar"),
+        F.sum(F.when(~F.col(target_col), 1).otherwise(0)).alias("n_non"),
+    )
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(target_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.select(
+        F.col(score_col),
+        F.col(target_col),
+        F.sum(F.when(F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_tar"),
+        F.sum(F.when(~F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_non"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        F.col(score_col).alias("threshold"),
+        # accepted = score >= thr; misses are targets NOT yet seen
+        (1.0 - F.col("__cum_tar") / F.col("n_tar")).alias("miss_rate"),
+        (F.col("__cum_non") / F.col("n_non")).alias("fa_rate"),
+    )
+
+
+def eer(scored: DataFrame, score_col: str = "score", target_col: str = "is_target") -> float:
+    """Equal error rate: operating point minimizing |miss - fa| (top-1 by
+    ``orderBy(...).limit(1)`` — the argmin graft, ``jyh/result.py:56-58``)."""
+    det = det_curve(scored, score_col, target_col)
+    row = (
+        det.withColumn("gap", F.abs(F.col("miss_rate") - F.col("fa_rate")))
+        .orderBy(F.col("gap").asc(), F.col("threshold").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    return float((row["miss_rate"] + row["fa_rate"]) / 2.0)

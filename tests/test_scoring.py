@@ -1,0 +1,65 @@
+"""Trial scoring + DET/EER vs a numpy reference (jyh/result.py graft)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def trial_data(spark):
+    rng = np.random.default_rng(5)
+    n_e, n_t, d = 20, 40, 16
+    ev = rng.standard_normal((n_e, d))
+    tv = rng.standard_normal((n_t, d))
+    enroll = spark.createDataFrame(
+        [(i, [float(x) for x in ev[i]]) for i in range(n_e)], "enroll_id int, embedding array<double>"
+    )
+    test = spark.createDataFrame(
+        [(j, [float(x) for x in tv[j]]) for j in range(n_t)], "test_id int, embedding array<double>"
+    )
+    pairs = [(i, j, bool((i + j) % 5 == 0)) for i in range(n_e) for j in range(n_t) if (i * 7 + j) % 3 == 0]
+    trials = spark.createDataFrame(pairs, "enroll_id int, test_id int, is_target boolean")
+    return enroll, test, trials, ev, tv, pairs
+
+
+def test_score_trials_matches_numpy(spark, trial_data):
+    from featureengineer_spark.operators.scoring import score_trials
+
+    enroll, test, trials, ev, tv, pairs = trial_data
+    got = (
+        score_trials(enroll, test, trials)
+        .toPandas()
+        .sort_values(["enroll_id", "test_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pairs)
+    exp = []
+    for i, j, _ in sorted(pairs):
+        c = ev[i] @ tv[j] / (np.linalg.norm(ev[i]) * np.linalg.norm(tv[j]))
+        exp.append(c)
+    np.testing.assert_allclose(got["score"].to_numpy(), exp, rtol=1e-9)
+
+
+def test_eer_matches_numpy(spark, trial_data):
+    from featureengineer_spark.operators.scoring import eer, score_trials
+
+    enroll, test, trials, ev, tv, pairs = trial_data
+    scored = score_trials(enroll, test, trials)
+    got = eer(scored)
+
+    # numpy reference: sweep all thresholds (scores desc)
+    import pandas as pd
+
+    pdf = scored.select("score", "is_target").toPandas()
+    s = pdf.sort_values(["score", "is_target"], ascending=[False, False])
+    tar = s["is_target"].to_numpy()
+    cum_tar = np.cumsum(tar)
+    cum_non = np.cumsum(~tar)
+    miss = 1.0 - cum_tar / tar.sum()
+    fa = cum_non / (~tar).sum()
+    k = np.argmin(np.abs(miss - fa))
+    exp = (miss[k] + fa[k]) / 2.0
+    assert abs(got - exp) < 1e-9
+    assert 0.0 <= got <= 1.0
