@@ -355,6 +355,98 @@ def q_knn_cosine(spark, sf):
     )
 
 
+def q_multikey_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_orderkey", "l_suppkey").agg(
+        _r(F.sum("l_quantity")).alias("qty")
+    )
+    return (
+        li.join(agg, on=["l_orderkey", "l_suppkey"], how="inner")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"), _r(F.sum("qty")).alias("total_qty"))
+    )
+
+
+def q_right_join(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    c = _t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", _r(F.col("o_totalprice")).alias("o_totalprice")
+    )
+
+
+def q_map_lookup(spark, sf):
+    # J5/F10 graft: literal map lookup instead of a join
+    o = _t(spark, sf, "orders")
+    m = F.create_map(
+        F.lit("1-URGENT"), F.lit(1), F.lit("2-HIGH"), F.lit(2),
+        F.lit("3-MEDIUM"), F.lit(3), F.lit("4-NOT SPECIFIED"), F.lit(4),
+        F.lit("5-LOW"), F.lit(5),
+    )
+    return o.select(
+        "o_orderkey", F.coalesce(m[F.col("o_orderpriority")], F.lit(0)).alias("prio_rank")
+    )
+
+
+def q_unpivot_stack(spark, sf):
+    # J10 graft: stack two measure columns into long form
+    p = _t(spark, sf, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', cast(p_size as double), 'price', p_retailprice) as (metric, value)",
+    ).select("p_partkey", "metric", _r(F.col("value")).alias("value"))
+
+
+def q_global_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        _r(F.avg("value")).alias("mean_value"),
+        _r(F.var_samp("value")).alias("var_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_conv_embedding(spark, sf):
+    # W9 graft: sequence -> one row per entity (per-conv feature vector)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        _r(F.avg("value")).alias("mean_value"),
+        _r(F.stddev_samp("value")).alias("std_value"),
+        _r(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))).alias("purchase_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_regex_extract(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).cast("int").alias("prio_num"),
+    )
+
+
+def q_string_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")).alias("seg_key"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+def q_null_drop(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    joined = o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name"
+    )
+    return joined.na.drop()
+
+
 def _trial_frames(spark, sf):
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
@@ -477,6 +569,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "trial_scores": q_trial_scores,
         "det_curve": q_det_curve,
+        "multikey_join": q_multikey_join,
+        "right_join": q_right_join,
+        "map_lookup": q_map_lookup,
+        "unpivot_stack": q_unpivot_stack,
+        "global_stats": q_global_stats,
+        "conv_embedding": q_conv_embedding,
+        "regex_extract": q_regex_extract,
+        "string_funcs": q_string_funcs,
+        "null_drop": q_null_drop,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
@@ -752,6 +853,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "multikey_join": """
+            WITH agg AS (
+              SELECT l_orderkey, l_suppkey, round(sum(l_quantity), 6) AS qty
+              FROM lineitem GROUP BY l_orderkey, l_suppkey
+            )
+            SELECT l.l_orderkey, count(*) AS n, round(sum(a.qty), 6) AS total_qty
+            FROM lineitem l JOIN agg a
+              ON l.l_orderkey = a.l_orderkey AND l.l_suppkey = a.l_suppkey
+            GROUP BY l.l_orderkey
+        """,
+        "right_join": """
+            SELECT c_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice
+            FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+            RIGHT JOIN customer ON o_custkey = c_custkey
+        """,
+        "map_lookup": """
+            SELECT o_orderkey,
+                   CASE o_orderpriority
+                     WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                     WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                     WHEN '5-LOW' THEN 5 ELSE 0 END AS prio_rank
+            FROM orders
+        """,
+        "unpivot_stack": """
+            SELECT p_partkey, 'size' AS metric, round(p_size::DOUBLE, 6) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'price' AS metric, round(p_retailprice, 6) AS value FROM part
+        """,
+        "global_stats": """
+            SELECT round(avg(value), 6) AS mean_value,
+                   round(var_samp(value), 6) AS var_value,
+                   count(*) AS n
+            FROM events
+        """,
+        "conv_embedding": """
+            SELECT user_id, count(*) AS n_events,
+                   round(avg(value), 6) AS mean_value,
+                   round(stddev_samp(value), 6) AS std_value,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS purchase_value,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "regex_extract": r"""
+            SELECT o_orderkey,
+                   CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS INT) AS prio_num
+            FROM orders
+        """,
+        "string_funcs": """
+            SELECT c_custkey, upper(c_name) AS name_upper,
+                   substring(c_name, 1, 8) AS name_prefix,
+                   c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_key,
+                   length(c_name) AS name_len
+            FROM customer
+        """,
+        "null_drop": """
+            SELECT o_orderkey, c_name
+            FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+              ON o_custkey = c_custkey
+            WHERE c_name IS NOT NULL
         """,
         "trial_scores": """
             WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el

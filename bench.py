@@ -71,13 +71,24 @@ def ensure_transcripts(spark) -> tuple[str, int]:
 
 
 def feature_pipeline(df):
-    """The flagship point-in-time window stack (north-rule operators)."""
+    """The flagship point-in-time window stack (north-rule operators).
+
+    Ends with an explicit projection of the feature columns so Catalyst
+    prunes ``text`` out of both the parquet scan and the entity shuffle —
+    at 100 TB the raw text never moves unless a downstream consumer asks
+    for it.
+    """
     df = with_lags(df, ["role"], offsets=(1,))
     df = with_inter_turn_latency(df)
     df = with_session_ids(df, idle_timeout_s=1800.0)
     df = with_rolling_counts(df, default_rolling_predicates(), window=10)
     df = with_backfill(df, "tool")
-    return df
+    return df.select(
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        "lag1_role", "lead1_role", "inter_turn_latency_s", "session_id",
+        "rolling_user_turns_10", "rolling_assistant_turns_10",
+        "rolling_tool_calls_10", "tool_backfilled",
+    )
 
 
 def main() -> None:

@@ -430,3 +430,24 @@ def featurize(df: DataFrame, model: FeatureModel | None = None) -> DataFrame:
         return _featurize_group(pdf, b_proj.value)
 
     return df.groupBy("conv_id").applyInPandas(fn, schema=FEATURIZE_SCHEMA)
+
+
+def save_model(model: FeatureModel, path: str) -> None:
+    """Per-stage model checkpoint (S7 graft — the reference writes
+    ``factor_analyser.write(output + "_it{}.h5")`` per EM iteration,
+    ``mpiIV.py:236-240``): numpy arrays + JSON manifest, atomic rename."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "proj_tmp.npy")  # np.save appends .npy unless present
+    np.save(tmp, model.proj)
+    os.replace(tmp, os.path.join(path, "proj.npy"))
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"feature_dim": int(model.proj.shape[0])}, f)
+
+
+def load_model(path: str) -> FeatureModel:
+    import os
+
+    return FeatureModel(proj=np.load(os.path.join(path, "proj.npy")))

@@ -1,0 +1,86 @@
+"""PCA whitening + length normalization (F7 graft, ``jyh/Utils.py:369-404``).
+
+The reference whitens i-vectors with an SVD of the (small) covariance and
+length-normalizes before scoring. Distributed split: the covariance is a
+partial+final aggregate over the vector column (one pass, map-side
+combinable via outer-product sums); the eigendecomposition is driver-side
+numpy on the tiny d×d matrix; application is a broadcast matmul inside an
+Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fit_whitener(
+    df: DataFrame, vec_col: str = "feature_vec", eps: float = 1e-8
+) -> tuple[np.ndarray, np.ndarray]:
+    """One distributed pass → (mean, whitening matrix W).
+
+    Aggregates Σx and Σxxᵀ as flattened array columns (element-wise
+    ``zip_with`` sums — partial+final, no collect of rows), then numpy
+    eigh on the driver. ``y = W @ (x - mean)`` has identity covariance.
+    """
+    d = len(df.select(vec_col).first()[0])
+    outer = F.flatten(
+        F.transform(
+            F.col(vec_col),
+            lambda xi: F.transform(F.col(vec_col), lambda xj: xi * xj),
+        )
+    )
+    # element sums via posexplode + groupBy: partial+final aggregation,
+    # shuffle bounded by d and d² keys (never collects rows)
+    sums = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    outer_sums = (
+        df.select(F.posexplode(outer).alias("k", "x"))
+        .groupBy("k")
+        .agg(F.sum("x").alias("s"))
+        .orderBy("k")
+        .collect()
+    )
+    n = df.count()
+    mean = np.array([r["s"] for r in sums]) / n
+    exx = np.array([r["s"] for r in outer_sums]).reshape(d, d) / n
+    cov = exx - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
+    return mean, w
+
+
+def apply_whitening(
+    df: DataFrame,
+    mean: np.ndarray,
+    w: np.ndarray,
+    vec_col: str = "feature_vec",
+    out_col: str = "whitened",
+    length_norm: bool = True,
+) -> DataFrame:
+    """Broadcast (mean, W); apply y = W(x-mean) (+ unit-length norm, the
+    reference's ``lengthNorm``) via an Arrow-batched kernel."""
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((mean, w))
+
+    def _whiten_fn(v):
+        m, ww = b.value
+        x = np.vstack(v.to_numpy())
+        y = (x - m) @ ww.T
+        if length_norm:
+            norms = np.linalg.norm(y, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            y = y / norms
+        return pd.Series(list(y))
+
+    _whiten = F.pandas_udf(_whiten_fn, T.ArrayType(T.DoubleType()))
+    return df.withColumn(out_col, _whiten(F.col(vec_col)))

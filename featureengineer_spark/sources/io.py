@@ -90,3 +90,15 @@ def read_csv_spine(
         for i, f in enumerate(struct.fields)
     ]
     return raw.select(*cols)
+
+
+def read_binary_dir(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
+    """Opaque-file scan (S2/S3 graft — the reference's HTK/audio readers,
+    ``jyh/Utils.py:46-168``): ``binaryFile`` source yields (path,
+    modificationTime, length, content binary); decode happens in the
+    multimodal Arrow kernels."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
