@@ -56,16 +56,22 @@ def _noop(df) -> None:
 
 
 def transcripts_path(tmp: str = "/tmp") -> str:
-    return f"{tmp}/fe_bench_transcripts_c{BENCH_CONVS}_m{BENCH_MEGA}x{BENCH_MEGA_LEN}.parquet"
+    return f"{tmp}/fe_bench_transcripts_v2c_{BENCH_CONVS}_m{BENCH_MEGA}x{BENCH_MEGA_LEN}.parquet"
 
 
 def ensure_transcripts(spark) -> tuple[str, int]:
+    """Materialize the bench table in the engine's production layout:
+    conv-hash-clustered files sorted by (conv_id, ts, turn_idx) — the
+    Iceberg bucket(N, conv_id) physical layout, which lets featurize run
+    shuffle-free (clustered=True)."""
     path = transcripts_path()
     if not os.path.exists(path + "/_SUCCESS"):
         t = synth_transcripts_spark(
             spark, n_convs=BENCH_CONVS, mega=BENCH_MEGA, mega_len=BENCH_MEGA_LEN, seed=7
         )
-        t.write.mode("overwrite").parquet(path)
+        t.repartition(64, "conv_id").sortWithinPartitions(
+            "conv_id", "ts", "turn_idx"
+        ).write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()
     return path, n
 
@@ -115,7 +121,7 @@ def main() -> None:
     timings["transcript_window_stack"] = round(windows_s, 4)
 
     t0 = time.perf_counter()
-    _noop(featurize_fast(t))
+    _noop(featurize_fast(t, clustered=True))
     feat_s = time.perf_counter() - t0
     timings["transcript_featurize"] = round(feat_s, 4)
 
