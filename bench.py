@@ -125,6 +125,21 @@ def main() -> None:
     feat_s = time.perf_counter() - t0
     timings["transcript_featurize"] = round(feat_s, 4)
 
+    # flagship as-of join: PIT-attach latest turn features to per-conv
+    # anchors (10% of turns sampled deterministically as probes)
+    from featureengineer_spark.operators import asof_join
+
+    anchors = t.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(10)) == 0).select(
+        "conv_id", F.col("ts").alias("anchor_ts")
+    )
+    feats = featurize_fast(t, clustered=True)
+    aj = asof_join(feats, anchors, value_cols=["turn_idx", "feature_vec"])
+    _noop(aj)
+    t0 = time.perf_counter()
+    _noop(aj)
+    asof_s = time.perf_counter() - t0
+    timings["transcript_asof_join"] = round(asof_s, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -71,6 +71,58 @@ def score_trials(
     return out
 
 
+def score_trials_mahalanobis(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    precision,
+    enroll_id: str = "enroll_id",
+    test_id: str = "test_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mahalanobis trial scoring (``IVector.py:1345`` graft):
+    score = −(e−t)ᵀ M (e−t) with the (small) precision matrix broadcast
+    and applied inside an Arrow-batched kernel — the broadcast-model
+    pattern of the reference's metric scorers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sc = enroll.sparkSession.sparkContext
+    b_m = sc.broadcast(np.asarray(precision))
+
+    e = enroll.select(F.col(enroll.columns[0]).alias(enroll_id), F.col(vec_col).alias("__ev"))
+    t = test.select(F.col(test.columns[0]).alias(test_id), F.col(vec_col).alias("__tv"))
+
+    def _score_fn(ev, tv):
+        m = b_m.value
+        a = np.vstack(ev.to_numpy())
+        b = np.vstack(tv.to_numpy())
+        diff = a - b
+        return pd.Series(-np.einsum("ij,jk,ik->i", diff, m, diff))
+
+    _score = F.pandas_udf(_score_fn, T.DoubleType())
+    return (
+        trials.join(e, on=enroll_id, how="inner")
+        .join(t, on=test_id, how="inner")
+        .withColumn("score", _score(F.col("__ev"), F.col("__tv")))
+        .drop("__ev", "__tv")
+    )
+
+
+def fit_precision(df: DataFrame, vec_col: str = "embedding", eps: float = 1e-6):
+    """Precision (inverse covariance) of a vector column — one distributed
+    pass of numpy partials (see ``whitening.fit_whitener``), tiny inverse
+    on the driver."""
+    import numpy as np
+
+    from featureengineer_spark.operators.whitening import fit_whitener
+
+    mean, w = fit_whitener(df, vec_col=vec_col, eps=eps)
+    # fit_whitener returns W = C^{-1/2}; precision = WᵀW
+    return w.T @ w
+
+
 def det_curve(
     scored: DataFrame,
     score_col: str = "score",

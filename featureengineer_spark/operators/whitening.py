@@ -26,32 +26,40 @@ def fit_whitener(
     eigh on the driver. ``y = W @ (x - mean)`` has identity covariance.
     """
     d = len(df.select(vec_col).first()[0])
-    outer = F.flatten(
-        F.transform(
-            F.col(vec_col),
-            lambda xi: F.transform(F.col(vec_col), lambda xj: xi * xj),
-        )
+    # per-batch numpy partials (count, Σx, ΣxxT) via mapInArrow, combined
+    # on the driver — the reference's local-accumulator + Reduce(SUM)
+    # pattern (mpiIV.py:165-214). Output is ONE tiny row per Arrow batch;
+    # nothing row-shaped ever shuffles.
+    import pyarrow as pa
+    from pyspark.sql import types as T2
+
+    def partials(batches):
+        for batch in batches:
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = flat.reshape(-1, d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([float(x.shape[0])]),
+                    pa.array([x.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+                    pa.array([(x.T @ x).ravel().tolist()], type=pa.list_(pa.float64())),
+                ],
+                names=["n", "sx", "sxx"],
+            )
+
+    part_schema = T2.StructType(
+        [
+            T2.StructField("n", T2.DoubleType()),
+            T2.StructField("sx", T2.ArrayType(T2.DoubleType())),
+            T2.StructField("sxx", T2.ArrayType(T2.DoubleType())),
+        ]
     )
-    # element sums via posexplode + groupBy: partial+final aggregation,
-    # shuffle bounded by d and d² keys (never collects rows)
-    sums = (
-        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"))
-        .orderBy("i")
-        .collect()
-    )
-    outer_sums = (
-        df.select(F.posexplode(outer).alias("k", "x"))
-        .groupBy("k")
-        .agg(F.sum("x").alias("s"))
-        .orderBy("k")
-        .collect()
-    )
-    n = df.count()
-    mean = np.array([r["s"] for r in sums]) / n
-    exx = np.array([r["s"] for r in outer_sums]).reshape(d, d) / n
-    cov = exx - np.outer(mean, mean)
+    rows = df.select(vec_col).mapInArrow(partials, schema=part_schema).collect()
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([r["sx"] for r in rows], axis=0)
+    sxx = np.sum([r["sxx"] for r in rows], axis=0).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
     w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
     return mean, w

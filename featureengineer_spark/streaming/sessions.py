@@ -79,3 +79,79 @@ def stream_sessionize_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_running_profile(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    a running per-conversation profile — total turns seen, latest-ts tool
+    (streaming backfill), last turn timestamp — maintained in the state
+    store across micro-batches. Emits one updated profile row per
+    conversation per batch (output mode ``update``).
+
+    This is the streaming form of the reference's incremental
+    per-utterance accumulators (``FeaGet.py:211-217`` chunk loop +
+    ``globalVar.py`` counters): arbitrary state the built-in windows
+    can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("last_tool", T.StringType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("last_tool", T.StringType()),
+            T.StructField("last_tool_ts_us", T.LongType()),
+            T.StructField("last_ts_us", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        n, last_tool, last_tool_ts_us, last_ts_us = (
+            state.get if state.exists else (0, None, -(2**62), -(2**62))
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            n += len(pdf)
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            # latest-ts non-null tool in this batch, compared against the
+            # stored TOOL's own ts (rows can arrive out of order across
+            # micro-batches)
+            toolmask = pdf["tool"].notna().to_numpy()
+            if toolmask.any():
+                idx = ts_us[toolmask].argmax()
+                cand_ts = int(ts_us[toolmask][idx])
+                if cand_ts >= last_tool_ts_us:
+                    last_tool = pdf["tool"].to_numpy()[toolmask][idx]
+                    last_tool_ts_us = cand_ts
+            last_ts_us = max(last_ts_us, int(ts_us.max()))
+        state.update((n, last_tool, last_tool_ts_us, last_ts_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n_turns": n,
+                    "last_tool": last_tool,
+                    "last_ts": pd.Timestamp(last_ts_us, unit="us"),
+                }
+            ]
+        )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -63,3 +63,31 @@ def test_eer_matches_numpy(spark, trial_data):
     exp = (miss[k] + fa[k]) / 2.0
     assert abs(got - exp) < 1e-9
     assert 0.0 <= got <= 1.0
+
+
+def test_mahalanobis_scoring_matches_numpy(spark, trial_data):
+    from featureengineer_spark.operators.scoring import (
+        fit_precision,
+        score_trials_mahalanobis,
+    )
+
+    enroll, test, trials, ev, tv, pairs = trial_data
+    allvec = enroll.select(F.col("embedding")).unionAll(test.select("embedding"))
+    m = fit_precision(allvec, vec_col="embedding")
+
+    got = (
+        score_trials_mahalanobis(enroll, test, trials, m)
+        .toPandas()
+        .sort_values(["enroll_id", "test_id"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for i, j, _ in sorted(pairs):
+        d = ev[i] - tv[j]
+        exp.append(-(d @ m @ d))
+    np.testing.assert_allclose(got["score"].to_numpy(), exp, rtol=1e-7)
+
+    # precision sanity: M ≈ inverse of the empirical covariance
+    allv = np.vstack([ev, tv])
+    cov = np.cov(allv, rowvar=False, ddof=0)
+    np.testing.assert_allclose(m @ cov, np.eye(ev.shape[1]), atol=1e-4)

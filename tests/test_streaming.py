@@ -75,3 +75,53 @@ def test_stream_restart_is_exactly_once(spark, transcripts, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_stateful_running_profile(spark, transcripts, tmp_path):
+    from featureengineer_spark.streaming.sessions import stream_running_profile
+
+    src = str(tmp_path / "in")
+    transcripts.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches → state spans batches
+        .parquet(src)
+    )
+    out = stream_running_profile(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    prof = spark.sql(
+        "SELECT * FROM profiles a WHERE n_turns = "
+        "(SELECT max(n_turns) FROM profiles b WHERE b.conv_id = a.conv_id)"
+    ).toPandas().set_index("conv_id")
+
+    exp_counts = transcripts.groupBy("conv_id").count().toPandas().set_index("conv_id")
+    from featureengineer_spark.operators import with_backfill
+    from pyspark.sql import functions as F2
+    last = (
+        with_backfill(transcripts, "tool")
+        .withColumn(
+            "rn",
+            F2.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("conv_id").orderBy(F2.col("ts").desc(), F2.col("turn_idx").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("conv_id", "tool_backfilled")
+        .toPandas()
+        .set_index("conv_id")
+    )
+    for conv, row in exp_counts.iterrows():
+        assert prof.loc[conv, "n_turns"] == row["count"], conv
+        exp_tool = last.loc[conv, "tool_backfilled"]
+        got_tool = prof.loc[conv, "last_tool"]
+        assert (got_tool == exp_tool) or (got_tool is None and exp_tool is None) or (
+            pd.isna(got_tool) and pd.isna(exp_tool)
+        ), (conv, got_tool, exp_tool)
