@@ -355,6 +355,22 @@ def q_knn_cosine(spark, sf):
     )
 
 
+def q_tumbling_windows(spark, sf):
+    # W1 time-window form: 6-hour tumbling aggregation per user (maps to
+    # streaming F.window; epoch-aligned in both engines)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"), _r(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_multikey_join(spark, sf):
     li = _t(spark, sf, "lineitem")
     agg = li.groupBy("l_orderkey", "l_suppkey").agg(
@@ -569,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "trial_scores": q_trial_scores,
         "det_curve": q_det_curve,
+        "tumbling_windows": q_tumbling_windows,
         "multikey_join": q_multikey_join,
         "right_join": q_right_join,
         "map_lookup": q_map_lookup,
@@ -853,6 +870,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "tumbling_windows": """
+            SELECT user_id, time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS window_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "multikey_join": """
             WITH agg AS (
