@@ -229,3 +229,34 @@ def salted_backfill(
     return joined.withColumn(
         out_name, F.coalesce(F.col("__local_fill"), F.col("__carry_val"))
     ).drop("__chunk", "__local_fill", "__carry_val")
+
+
+def rolling_counts_auto(
+    df: DataFrame,
+    predicates: dict[str, Column],
+    window: int = 10,
+    heavy_threshold: int = 1_000_000,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Skew-aware rolling counts: one cheap count-agg decides whether any
+    entity exceeds ``heavy_threshold`` rows; if so the whole input takes
+    the salted path (exact same results), else plain windows (one fewer
+    pass). The decision is a driver-side boolean — the graft of the
+    reference's manual very-long-signal special-casing made automatic.
+    """
+    from featureengineer_spark.operators.windows import with_rolling_counts
+
+    has_heavy = bool(
+        detect_heavy_keys(df, key=entity_col, threshold=heavy_threshold).limit(1).count()
+    )
+    if has_heavy:
+        return salted_rolling_counts(
+            df, predicates, window=window, chunk_size=chunk_size,
+            entity_col=entity_col, idx_col=idx_col, order_cols=order_cols,
+        )
+    return with_rolling_counts(
+        df, predicates, window=window, entity_col=entity_col, order_cols=order_cols
+    )

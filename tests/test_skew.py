@@ -73,3 +73,19 @@ def test_salted_backfill_equals_plain(transcripts):
     a = plain["tool_backfilled"].where(plain["tool_backfilled"].notna(), None).to_numpy()
     b = salted["tool_backfilled"].where(salted["tool_backfilled"].notna(), None).to_numpy()
     np.testing.assert_array_equal(a, b)
+
+
+def test_rolling_counts_auto_routes_and_matches(transcripts):
+    from featureengineer_spark.operators.skew import rolling_counts_auto
+
+    preds = default_rolling_predicates()
+    plain = with_rolling_counts(transcripts, preds, window=10).toPandas().sort_values(KEY)
+    # low threshold → salted path; high threshold → plain path; both equal
+    for thresh in (100, 10_000_000):
+        auto = (
+            rolling_counts_auto(transcripts, preds, window=10,
+                                heavy_threshold=thresh, chunk_size=64)
+            .toPandas().sort_values(KEY)
+        )
+        for c in preds:
+            np.testing.assert_array_equal(plain[c].to_numpy(), auto[c].to_numpy())
