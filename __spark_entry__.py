@@ -355,6 +355,31 @@ def q_knn_cosine(spark, sf):
     )
 
 
+def q_interval_session_lookup(spark, sf):
+    # interval form of the PIT join: which session contains each purchase
+    from featureengineer_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf, "events")
+    sess = with_session_ids(ev, idle_timeout_s=1800.0, ts_col="ts", **E)
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("valid_from"),
+        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("valid_to"),
+    )
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("anchor_ts"), F.col("event_id").alias("purchase_id")
+    )
+    out = interval_join(intervals, anchors, entity_col="user_id")
+    return out.select("user_id", "purchase_id", "session_id")
+
+
+def q_holdout_split(spark, sf):
+    from featureengineer_spark.operators.windows import holdout_split
+
+    ev = _t(spark, sf, "events")
+    out = holdout_split(ev, entity_col="user_id", order_cols=("ts", "event_id"))
+    return out.select("user_id", "event_id", "split")
+
+
 def q_tumbling_windows(spark, sf):
     # W1 time-window form: 6-hour tumbling aggregation per user (maps to
     # streaming F.window; epoch-aligned in both engines)
@@ -585,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "trial_scores": q_trial_scores,
         "det_curve": q_det_curve,
+        "interval_session_lookup": q_interval_session_lookup,
+        "holdout_split": q_holdout_split,
         "tumbling_windows": q_tumbling_windows,
         "multikey_join": q_multikey_join,
         "right_join": q_right_join,
@@ -870,6 +897,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "interval_session_lookup": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN epoch(ts - lag(ts) OVER ({_W})) > 1800 THEN 1 ELSE 0 END AS flag
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            ), iv AS (
+              SELECT user_id, session_id, min(ts) AS vfrom, max(ts) AS vto
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT p.user_id, p.event_id AS purchase_id, iv.session_id
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+            JOIN iv ON iv.user_id = p.user_id AND p.ts >= iv.vfrom AND p.ts <= iv.vto
+        """,
+        "holdout_split": f"""
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN rn <= 1 THEN 'holdout' ELSE 'train' END AS split
+            FROM r
         """,
         "tumbling_windows": """
             SELECT user_id, time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') AS window_start,

@@ -169,3 +169,35 @@ def asof_join_pandas(
         .cogroup(feat.groupBy(entity_col))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def interval_join(
+    intervals: DataFrame,
+    anchors: DataFrame,
+    entity_col: str = "conv_id",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    anchor_ts_col: str = "anchor_ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval form of the point-in-time join (SURVEY.md §2.3 note): each
+    anchor matches the interval row with ``valid_from <= anchor_ts <
+    valid_to`` for its entity.
+
+    Physically an equi join on the entity key (sort-merge / broadcast by
+    Catalyst's choice) with the range predicate applied inside the join —
+    the pair space is bounded by the per-entity interval count, and the
+    entity exchange co-locates with the rest of the pipeline's
+    partitioning.
+    """
+    cond = (
+        (intervals[entity_col] == anchors[entity_col])
+        & (anchors[anchor_ts_col] >= intervals[start_col])
+        & (anchors[anchor_ts_col] < intervals[end_col])
+    )
+    out = anchors.join(intervals, cond, how)
+    return out.select(
+        anchors[entity_col].alias(entity_col),
+        *[anchors[c] for c in anchors.columns if c != entity_col],
+        *[intervals[c] for c in intervals.columns if c != entity_col],
+    )

@@ -302,3 +302,25 @@ def with_deterministic_crop(
         .filter((F.col("__rn") > F.col("__off")) & (F.col("__rn") <= F.col("__off") + length))
         .drop("__rn", "__off")
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    n_holdout: int = 1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-entity train/holdout split: the last ``n_holdout`` rows of each
+    entity (under stable turn ordering) become ``holdout``, the rest
+    ``train`` — the reference's enroll/test discipline (one utterance held
+    out per speaker, ``PrepareData.py:36-64``) as a window expression.
+    Leakage-safe by construction: holdout rows are strictly later than
+    every train row of the same entity."""
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        out_col, F.when(rn <= n_holdout, F.lit("holdout")).otherwise(F.lit("train"))
+    )
