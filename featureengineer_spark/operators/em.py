@@ -1,0 +1,200 @@
+"""Distributed GMM EM + sufficient statistics — the UBM graft.
+
+The reference's core compute is EM over a diagonal-covariance GMM (UBM,
+``IVector.py:1048-1053``; MPI variant ``mpiIV.py:346-533``: every rank
+accumulates local sufficient statistics and ``Reduce(SUM)``s them to rank
+0, which M-steps and broadcasts the new model). Spark-native form:
+
+* E-step: ``mapInArrow`` over the vector column with the model in a
+  broadcast variable; each Arrow batch emits ONE row of partials
+  (Σγ_k, Σγ_k·x, Σγ_k·x², Σ log-lik) — the map-side-combined analog of
+  ``comm.Reduce(op=MPI.SUM)``.
+* M-step: driver-side numpy over the tiny combined partials; new model
+  re-broadcast next iteration.
+* per-entity sufficient statistics (the reference's StatServer
+  ``stat0``/``stat1``, ``IVector.py:810-815``): responsibilities computed
+  in the same Arrow kernel, aggregated per entity with plain hash aggs.
+
+Log-likelihood is recorded per iteration — monotone non-decrease is the
+reference's own convergence check (``IVector.py:571-586``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclass
+class GMM:
+    weights: np.ndarray  # (k,)
+    means: np.ndarray  # (k, d)
+    variances: np.ndarray  # (k, d) diagonal
+    llk_history: list[float] = field(default_factory=list)
+
+
+def _log_gauss(x: np.ndarray, model: GMM) -> np.ndarray:
+    """(n, k) log N(x | mu_k, diag sigma_k) + log w_k — vectorized."""
+    k, d = model.means.shape
+    inv = 1.0 / model.variances  # (k, d)
+    const = (
+        np.log(model.weights)
+        - 0.5 * (d * _LOG2PI + np.log(model.variances).sum(axis=1))
+        - 0.5 * np.einsum("kd,kd,kd->k", model.means, model.means, inv)
+    )  # (k,)
+    lin = x @ (model.means * inv).T  # (n, k)
+    quad = -0.5 * (x * x) @ inv.T  # (n, k)
+    return const + lin + quad
+
+
+def _responsibilities(x: np.ndarray, model: GMM) -> tuple[np.ndarray, float]:
+    lg = _log_gauss(x, model)
+    mx = lg.max(axis=1, keepdims=True)
+    p = np.exp(lg - mx)
+    s = p.sum(axis=1, keepdims=True)
+    llk = float((np.log(s) + mx).sum())
+    return p / s, llk
+
+
+def init_gmm(df: DataFrame, vec_col: str, n_components: int, seed: int = 0) -> GMM:
+    """Deterministic init: global mean/var (one pass) + seeded jitter on
+    the means — the reference initializes from global statistics too
+    (``IVector.py:601-603``)."""
+    from featureengineer_spark.operators.whitening import fit_whitener
+
+    mean, _w = fit_whitener(df, vec_col=vec_col)
+    d = len(mean)
+    var = np.ones(d)
+    rng = np.random.default_rng(seed)
+    means = mean + rng.standard_normal((n_components, d)) * 0.1
+    return GMM(
+        weights=np.full(n_components, 1.0 / n_components),
+        means=means,
+        variances=np.tile(var, (n_components, 1)),
+    )
+
+
+def train_gmm(
+    df: DataFrame,
+    vec_col: str = "feature_vec",
+    n_components: int = 4,
+    n_iter: int = 5,
+    seed: int = 0,
+    min_var: float = 1e-6,
+    model: GMM | None = None,
+) -> GMM:
+    """Distributed EM. One Spark job per iteration; per-batch partials
+    only (nothing row-shaped leaves executors)."""
+    import pyarrow as pa
+
+    sc = df.sparkSession.sparkContext
+    model = model or init_gmm(df, vec_col, n_components, seed)
+    k, d = model.means.shape
+    vecs = df.select(vec_col)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("nk", T.ArrayType(T.DoubleType())),
+            T.StructField("sx", T.ArrayType(T.DoubleType())),
+            T.StructField("sxx", T.ArrayType(T.DoubleType())),
+            T.StructField("llk", T.DoubleType()),
+            T.StructField("n", T.DoubleType()),
+        ]
+    )
+
+    for _ in range(n_iter):
+        b_model = sc.broadcast((model.weights, model.means, model.variances))
+
+        def estep(batches):
+            w, mu, var = b_model.value
+            m = GMM(w, mu, var)
+            for batch in batches:
+                x = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+                gamma, llk = _responsibilities(x, m)
+                nk = gamma.sum(axis=0)  # (k,)
+                sx = gamma.T @ x  # (k, d)
+                sxx = gamma.T @ (x * x)  # (k, d)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([nk.tolist()], type=pa.list_(pa.float64())),
+                        pa.array([sx.ravel().tolist()], type=pa.list_(pa.float64())),
+                        pa.array([sxx.ravel().tolist()], type=pa.list_(pa.float64())),
+                        pa.array([llk]),
+                        pa.array([float(x.shape[0])]),
+                    ],
+                    names=["nk", "sx", "sxx", "llk", "n"],
+                )
+
+        rows = vecs.mapInArrow(estep, schema=part_schema).collect()
+        nk = np.sum([r["nk"] for r in rows], axis=0)
+        sx = np.sum([r["sx"] for r in rows], axis=0).reshape(k, d)
+        sxx = np.sum([r["sxx"] for r in rows], axis=0).reshape(k, d)
+        n = sum(r["n"] for r in rows)
+        llk = sum(r["llk"] for r in rows) / n
+        model.llk_history.append(llk)
+
+        nk_safe = np.maximum(nk, 1e-12)
+        means = sx / nk_safe[:, None]
+        variances = np.maximum(sxx / nk_safe[:, None] - means * means, min_var)
+        model = GMM(nk / n, means, variances, model.llk_history)
+    return model
+
+
+def sufficient_stats(
+    df: DataFrame,
+    model: GMM,
+    entity_col: str = "conv_id",
+    vec_col: str = "feature_vec",
+) -> DataFrame:
+    """Per-entity StatServer: ``stat0[k]`` = Σ responsibilities,
+    ``stat1[k*d]`` = Σ responsibility-weighted features (the reference's
+    per-segment sufficient statistics, ``IVector.py:810-815``).
+
+    Responsibilities come from an Arrow kernel (broadcast model); the
+    per-entity reduction is a plain hash aggregation over k + k·d sum
+    columns — partial+final, shuffle bounded by |entities|.
+    """
+    import pyarrow as pa
+
+    sc = df.sparkSession.sparkContext
+    k, d = model.means.shape
+    b_model = sc.broadcast((model.weights, model.means, model.variances))
+
+    out_schema = T.StructType(
+        [T.StructField(entity_col, df.schema[entity_col].dataType)]
+        + [T.StructField(f"g{i}", T.DoubleType()) for i in range(k)]
+        + [T.StructField(f"gx{i}_{j}", T.DoubleType()) for i in range(k) for j in range(d)]
+    )
+
+    def kernel(batches):
+        w, mu, var = b_model.value
+        m = GMM(w, mu, var)
+        for batch in batches:
+            ent = batch.column(0)
+            x = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            gamma, _ = _responsibilities(x, m)
+            arrays = [ent]
+            for i in range(k):
+                arrays.append(pa.array(np.ascontiguousarray(gamma[:, i])))
+            gx = gamma[:, :, None] * x[:, None, :]  # (n, k, d)
+            for i in range(k):
+                for j in range(d):
+                    arrays.append(pa.array(np.ascontiguousarray(gx[:, i, j])))
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema.fields])
+
+    per_row = df.select(entity_col, vec_col).mapInArrow(kernel, schema=out_schema)
+    agg = per_row.groupBy(entity_col).agg(
+        *[F.sum(f"g{i}").alias(f"s0_{i}") for i in range(k)],
+        *[F.sum(f"gx{i}_{j}").alias(f"s1_{i}_{j}") for i in range(k) for j in range(d)],
+    )
+    return agg.select(
+        entity_col,
+        F.array(*[F.col(f"s0_{i}") for i in range(k)]).alias("stat0"),
+        F.array(*[F.col(f"s1_{i}_{j}") for i in range(k) for j in range(d)]).alias("stat1"),
+    )

@@ -59,3 +59,22 @@ def spine_violations(
         .when(F.col("__prev_ts") > F.col(ts_col), "ts_regression")
         .alias("violation"),
     ).filter(F.col("violation").isNotNull())
+
+
+def clustering_violations(
+    df, entity_col: str = "conv_id"
+):
+    """Entities spanning more than one input file — violates the
+    precondition of the shuffle-free (clustered=True) kernels. Run this
+    once per new table layout; a file split mid-conversation would
+    silently corrupt segmented carry state otherwise."""
+    from pyspark.sql import functions as F
+
+    # input_file_name() is non-deterministic for the analyzer; project it
+    # into a column first, then aggregate
+    return (
+        df.select(F.col(entity_col), F.input_file_name().alias("__file"))
+        .groupBy(entity_col)
+        .agg(F.countDistinct("__file").alias("n_files"))
+        .filter(F.col("n_files") > 1)
+    )

@@ -98,3 +98,15 @@ def test_spine_validator(spark, transcripts):
     bad = transcripts.unionByName(transcripts.limit(1))
     v = spine_violations(bad).toPandas()
     assert len(v) > 0 and (v["violation"] == "duplicate_turn_idx").any()
+
+
+def test_clustering_validator(spark, transcripts, tmp_path):
+    from featureengineer_spark.validation import clustering_violations
+
+    good = str(tmp_path / "good")
+    transcripts.repartition(4, "conv_id").write.parquet(good)
+    assert clustering_violations(spark.read.parquet(good)).count() == 0
+
+    bad = str(tmp_path / "bad")
+    transcripts.repartition(6).write.parquet(bad)  # round-robin splits convs
+    assert clustering_violations(spark.read.parquet(bad)).count() > 0
