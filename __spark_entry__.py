@@ -533,6 +533,21 @@ def q_det_curve(spark, sf):
     )
 
 
+def q_gmm_suff_stats(spark, sf):
+    """Distributed GMM EM + per-entity sufficient statistics (UBM graft).
+
+    Iterative EM is not SQL-expressible → rows-only check (one row per
+    label-entity; schema stat0 array<double>, stat1 array<double>)."""
+    from featureengineer_spark.operators.em import sufficient_stats, train_gmm
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("label").cast("string").alias("conv_id"),
+        F.col("embedding").cast("array<double>").alias("feature_vec"),
+    )
+    model = train_gmm(emb, n_components=3, n_iter=2, seed=3)
+    return sufficient_stats(emb, model)
+
+
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
 
 def q_minhash_lsh(spark, sf):
@@ -622,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
+        "gmm_suff_stats": q_gmm_suff_stats,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
