@@ -537,7 +537,9 @@ def q_gmm_suff_stats(spark, sf):
     """Distributed GMM EM + per-entity sufficient statistics (UBM graft).
 
     Iterative EM is not SQL-expressible → rows-only check (one row per
-    label-entity; schema stat0 array<double>, stat1 array<double>)."""
+    label-entity). The stat0/stat1 arrays are serialized to rounded JSON
+    strings so the driver's row canonicalizer (which sorts rows) can hash
+    them — raw array<double> columns are unhashable in pandas."""
     from featureengineer_spark.operators.em import sufficient_stats, train_gmm
 
     emb = _t(spark, sf, "embeddings").select(
@@ -545,7 +547,12 @@ def q_gmm_suff_stats(spark, sf):
         F.col("embedding").cast("array<double>").alias("feature_vec"),
     )
     model = train_gmm(emb, n_components=3, n_iter=2, seed=3)
-    return sufficient_stats(emb, model)
+    stats = sufficient_stats(emb, model)
+    return stats.select(
+        "conv_id",
+        F.to_json(F.transform("stat0", lambda x: F.round(x, 6))).alias("stat0_json"),
+        F.to_json(F.transform("stat1", lambda x: F.round(x, 6))).alias("stat1_json"),
+    )
 
 
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
@@ -662,10 +669,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_counts": f"""
             SELECT user_id, event_id,
-                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
-                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_purchases_10,
-                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
-                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_errors_10
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_purchases_10,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                     OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_errors_10
             FROM events
         """,
         "sessionize": f"""
@@ -675,7 +682,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, event_id,
-                   sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM g
         """,
         "session_stats": f"""
@@ -685,7 +692,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, ts, value,
-                     sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -921,7 +928,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, event_id, ts, event_type,
-                     sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(flag) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g
             ), iv AS (
               SELECT user_id, session_id, min(ts) AS vfrom, max(ts) AS vto
