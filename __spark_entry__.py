@@ -555,6 +555,33 @@ def q_gmm_suff_stats(spark, sf):
     )
 
 
+def q_latent_factors(spark, sf):
+    """Full model-training pipeline: UBM EM → per-entity sufficient stats
+    → TV-matrix EM → per-entity latent factor (the reference's 5-stage
+    i-vector front end, IVector.py:131-244 + mpiIV.py:248-343).
+
+    Iterative EM is not SQL-expressible → rows-only check; the latent
+    vectors are emitted as rounded JSON so the driver can sort rows."""
+    from featureengineer_spark.operators.em import sufficient_stats, train_gmm
+    from featureengineer_spark.operators.tv import (
+        extract_latent_factors,
+        train_total_variability,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("label").cast("string").alias("conv_id"),
+        F.col("embedding").cast("array<double>").alias("feature_vec"),
+    )
+    ubm = train_gmm(emb, n_components=3, n_iter=2, seed=3)
+    stats = sufficient_stats(emb, ubm)
+    tv = train_total_variability(stats, ubm, rank=4, n_iter=2, seed=7)
+    lat = extract_latent_factors(stats, tv)
+    return lat.select(
+        "conv_id",
+        F.to_json(F.transform("latent", lambda x: F.round(x, 6))).alias("latent_json"),
+    )
+
+
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
 
 def q_minhash_lsh(spark, sf):
@@ -645,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
         "gmm_suff_stats": q_gmm_suff_stats,
+        "latent_factors": q_latent_factors,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,

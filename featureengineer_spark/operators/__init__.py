@@ -12,3 +12,9 @@ from featureengineer_spark.operators.windows import (  # noqa: F401
 )
 from featureengineer_spark.operators.asof import asof_join, asof_join_pandas  # noqa: F401
 from featureengineer_spark.operators.skew import detect_heavy_keys, salted_rolling_counts  # noqa: F401
+from featureengineer_spark.operators.tv import (  # noqa: F401
+    TVModel,
+    extract_latent_factors,
+    train_total_variability,
+    whiten_stats,
+)

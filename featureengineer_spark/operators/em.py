@@ -62,6 +62,37 @@ def _responsibilities(x: np.ndarray, model: GMM) -> tuple[np.ndarray, float]:
     return p / s, llk
 
 
+def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np.ndarray]:
+    """Element-wise sum of per-batch partial columns, reduced IN-CLUSTER.
+
+    ``sizes`` maps column name → array length (None for scalar doubles).
+    All partials are concatenated into one array per row, posexploded, and
+    hash-aggregated by position — Spark's partial+final aggregation gives
+    map-side combine, so the shuffle carries O(#partitions × total_size)
+    doubles and the driver receives exactly ``total_size`` rows regardless
+    of input size. This is the ``comm.Reduce(op=MPI.SUM)`` analog
+    (reference ``mpiIV.py:186-214``) without the O(#batches) driver
+    gather that a plain ``collect()`` of partial rows would cost.
+    """
+    cols = []
+    for name, sz in sizes.items():
+        cols.append(F.array(F.col(name)) if sz is None else F.col(name))
+    exploded = df.select(F.posexplode(F.concat(*cols)).alias("pos", "v"))
+    summed = exploded.groupBy("pos").agg(F.sum("v").alias("s")).collect()
+    total = sum(1 if sz is None else sz for sz in sizes.values())
+    flat = np.zeros(total)
+    for r in summed:
+        flat[r["pos"]] = r["s"]
+    out: dict[str, np.ndarray] = {}
+    off = 0
+    for name, sz in sizes.items():
+        width = 1 if sz is None else sz
+        chunk = flat[off : off + width]
+        out[name] = float(chunk[0]) if sz is None else chunk
+        off += width
+    return out
+
+
 def init_gmm(df: DataFrame, vec_col: str, n_components: int, seed: int = 0) -> GMM:
     """Deterministic init: global mean/var (one pass) + seeded jitter on
     the means — the reference initializes from global statistics too
@@ -131,12 +162,15 @@ def train_gmm(
                     names=["nk", "sx", "sxx", "llk", "n"],
                 )
 
-        rows = vecs.mapInArrow(estep, schema=part_schema).collect()
-        nk = np.sum([r["nk"] for r in rows], axis=0)
-        sx = np.sum([r["sx"] for r in rows], axis=0).reshape(k, d)
-        sxx = np.sum([r["sxx"] for r in rows], axis=0).reshape(k, d)
-        n = sum(r["n"] for r in rows)
-        llk = sum(r["llk"] for r in rows) / n
+        parts = reduce_partials(
+            vecs.mapInArrow(estep, schema=part_schema),
+            {"nk": k, "sx": k * d, "sxx": k * d, "llk": None, "n": None},
+        )
+        nk = parts["nk"]
+        sx = parts["sx"].reshape(k, d)
+        sxx = parts["sxx"].reshape(k, d)
+        n = parts["n"]
+        llk = parts["llk"] / n
         model.llk_history.append(llk)
 
         nk_safe = np.maximum(nk, 1e-12)

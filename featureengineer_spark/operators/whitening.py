@@ -54,10 +54,15 @@ def fit_whitener(
             T2.StructField("sxx", T2.ArrayType(T2.DoubleType())),
         ]
     )
-    rows = df.select(vec_col).mapInArrow(partials, schema=part_schema).collect()
-    n = sum(r["n"] for r in rows)
-    sx = np.sum([r["sx"] for r in rows], axis=0)
-    sxx = np.sum([r["sxx"] for r in rows], axis=0).reshape(d, d)
+    from featureengineer_spark.operators.em import reduce_partials
+
+    parts = reduce_partials(
+        df.select(vec_col).mapInArrow(partials, schema=part_schema),
+        {"n": None, "sx": d, "sxx": d * d},
+    )
+    n = parts["n"]
+    sx = parts["sx"]
+    sxx = parts["sxx"].reshape(d, d)
     mean = sx / n
     cov = sxx / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
