@@ -582,6 +582,71 @@ def q_latent_factors(spark, sf):
     )
 
 
+def q_trial_scores_2cov(spark, sf):
+    """Two-covariance trial scoring (IVector.py:1371-1394 graft), diagonal
+    variant: per-dimension within/between variances estimated from the
+    labeled embeddings, pair-LLR quadratic form — every step is plain
+    per-dimension arithmetic, so DuckDB can verify it end to end."""
+    from featureengineer_spark.operators.plda import fit_two_cov
+    from featureengineer_spark.operators.scoring import score_trials_two_cov
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    mu, b_cov, w_cov = fit_two_cov(emb, label_col="label", vec_col="embedding", diag=True)
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = score_trials_two_cov(enroll, test, trials, mu, b_cov, w_cov)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
+def q_trial_scores_plda(spark, sf):
+    """PLDA trial scoring (IVector.py:1398-1455 graft). EM training is
+    iterative → rows-only check; scores rounded for stable output."""
+    from featureengineer_spark.operators.plda import train_plda
+    from featureengineer_spark.operators.scoring import score_trials_plda
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    model = train_plda(emb, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5)
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = score_trials_plda(enroll, test, trials, model)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
+def q_lda_wccn_scores(spark, sf):
+    """The reference's cosine+LDA+WCCN scoring chain (log.txt:656-660;
+    IVector.py:1336-1339, 1508-1511). Driver-side eigensolves → rows-only
+    check (values pinned by tests/test_plda.py vs numpy)."""
+    from featureengineer_spark.operators.plda import apply_projection, fit_lda, fit_wccn
+    from featureengineer_spark.operators.scoring import score_trials
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    mu, proj = fit_lda(emb, label_col="label", vec_col="embedding", n_components=8)
+    lda_df = apply_projection(emb, proj, mu, out_col="lda_vec")
+    wccn_l = fit_wccn(lda_df.select("label", "lda_vec"), label_col="label", vec_col="lda_vec")
+    final = apply_projection(
+        lda_df.select("vec_id", "lda_vec"), wccn_l, vec_col="lda_vec", out_col="embedding"
+    ).select("vec_id", "embedding")
+    enroll = final.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("enroll_id"), "embedding"
+    )
+    test = final.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("test_id"), "embedding"
+    )
+    _, _, trials = _trial_frames(spark, sf)
+    out = score_trials(enroll, test, trials)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
 
 def q_minhash_lsh(spark, sf):
@@ -671,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
+        "trial_scores_2cov": q_trial_scores_2cov,
+        "trial_scores_plda": q_trial_scores_plda,
+        "lda_wccn_scores": q_lda_wccn_scores,
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
         "minhash_lsh": q_minhash_lsh,
@@ -1040,6 +1108,61 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
               ON o_custkey = c_custkey
             WHERE c_name IS NOT NULL
+        """,
+        "trial_scores_2cov": """
+            -- diagonal two-covariance pair LLR, re-derived per dimension:
+            -- lam=b+w, schur=lam-b*b/lam, q=.5*(1/lam-1/schur), p=.5*b/(schur*lam),
+            -- const=-0.5*sum(ln schur - ln lam); score=sum_j q*(e^2+t^2)+2p*e*t (+const)
+            WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+            ev AS (
+              SELECT vec_id, label, j, CAST(embedding[j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ),
+            gstat AS (SELECT j, avg(v) AS mu, count(*) AS n FROM ev GROUP BY j),
+            cls AS (SELECT label, j, avg(v) AS cmu, count(*) AS cn FROM ev GROUP BY label, j),
+            wth AS (
+              SELECT ev.j, sum((ev.v - cls.cmu) * (ev.v - cls.cmu)) AS ss
+              FROM ev JOIN cls ON cls.label = ev.label AND cls.j = ev.j
+              GROUP BY ev.j
+            ),
+            btw AS (
+              SELECT cls.j, sum(cls.cn * (cls.cmu - gstat.mu) * (cls.cmu - gstat.mu)) AS ss
+              FROM cls JOIN gstat ON gstat.j = cls.j
+              GROUP BY cls.j
+            ),
+            coef AS (
+              SELECT gstat.j, gstat.mu,
+                     wth.ss / gstat.n AS w,
+                     btw.ss / gstat.n AS b,
+                     (btw.ss / gstat.n + wth.ss / gstat.n) AS lam,
+                     (btw.ss / gstat.n + wth.ss / gstat.n)
+                       - (btw.ss / gstat.n) * (btw.ss / gstat.n)
+                         / (btw.ss / gstat.n + wth.ss / gstat.n) AS schur
+              FROM gstat JOIN wth ON wth.j = gstat.j JOIN btw ON btw.j = gstat.j
+            ),
+            konst AS (SELECT -0.5 * sum(ln(schur) - ln(lam)) AS c FROM coef),
+            pairs AS (
+              SELECT a.vec_id AS enroll_id, b.vec_id AS test_id,
+                     (a.label = b.label) AS is_target
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 20 AND b.vec_id >= 20
+                AND (a.vec_id * 7 + b.vec_id) % 5 = 0
+            ),
+            quad AS (
+              SELECT p.enroll_id, p.test_id, p.is_target,
+                     sum(0.5 * (1.0/coef.lam - 1.0/coef.schur)
+                           * ((e.v - coef.mu)*(e.v - coef.mu) + (t.v - coef.mu)*(t.v - coef.mu))
+                         + (coef.b / (coef.schur * coef.lam)) * (e.v - coef.mu) * (t.v - coef.mu)
+                     ) AS s
+              FROM pairs p
+              JOIN ev e ON e.vec_id = p.enroll_id
+              JOIN ev t ON t.vec_id = p.test_id AND t.j = e.j
+              JOIN coef ON coef.j = e.j
+              GROUP BY 1, 2, 3
+            )
+            SELECT enroll_id, test_id, is_target,
+                   round(s + (SELECT c FROM konst), 6) AS score
+            FROM quad
         """,
         "trial_scores": """
             WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el

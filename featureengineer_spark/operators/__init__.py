@@ -18,3 +18,11 @@ from featureengineer_spark.operators.tv import (  # noqa: F401
     train_total_variability,
     whiten_stats,
 )
+from featureengineer_spark.operators.plda import (  # noqa: F401
+    PLDAModel,
+    apply_projection,
+    fit_lda,
+    fit_two_cov,
+    fit_wccn,
+    train_plda,
+)

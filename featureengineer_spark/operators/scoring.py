@@ -110,6 +110,91 @@ def score_trials_mahalanobis(
     )
 
 
+def score_trials_bilinear(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    q_mat,
+    p_mat,
+    const: float = 0.0,
+    mean=None,
+    enroll_id: str = "enroll_id",
+    test_id: str = "test_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Generic pair log-likelihood-ratio scorer:
+    score = e̅ᵀQe̅ + t̅ᵀQt̅ + 2·e̅ᵀPt̅ + const with x̅ = x − μ.
+
+    Covers the reference's two-covariance (``IVector.py:1371-1394``) and
+    PLDA (``IVector.py:1398-1455``) scorers — (Q, P, const) come from
+    ``plda.pair_llr_matrices``. Matrices are broadcast; the quadratic
+    forms run batched (einsum) in an Arrow kernel over the trial join,
+    so the shuffle is bounded by |trials| exactly like ``score_trials``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_mat = np.asarray(q_mat, dtype=np.float64)
+    p_mat = np.asarray(p_mat, dtype=np.float64)
+    mean = np.zeros(q_mat.shape[0]) if mean is None else np.asarray(mean, dtype=np.float64)
+    sc = enroll.sparkSession.sparkContext
+    b = sc.broadcast((q_mat, p_mat, float(const), mean))
+
+    e = enroll.select(F.col(enroll.columns[0]).alias(enroll_id), F.col(vec_col).alias("__ev"))
+    t = test.select(F.col(test.columns[0]).alias(test_id), F.col(vec_col).alias("__tv"))
+
+    def _score_fn(ev, tv):
+        qm, pm, c0, mu = b.value
+        x1 = np.vstack(ev.to_numpy()) - mu
+        x2 = np.vstack(tv.to_numpy()) - mu
+        s = (
+            np.einsum("ij,jk,ik->i", x1, qm, x1)
+            + np.einsum("ij,jk,ik->i", x2, qm, x2)
+            + 2.0 * np.einsum("ij,jk,ik->i", x1, pm, x2)
+            + c0
+        )
+        return pd.Series(s)
+
+    _score = F.pandas_udf(_score_fn, T.DoubleType())
+    return (
+        trials.join(e, on=enroll_id, how="inner")
+        .join(t, on=test_id, how="inner")
+        .withColumn("score", _score(F.col("__ev"), F.col("__tv")))
+        .drop("__ev", "__tv")
+    )
+
+
+def score_trials_two_cov(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    mu,
+    b_cov,
+    w_cov,
+    **kw,
+) -> DataFrame:
+    """Two-covariance trial scoring (Γ = B, Λ = B + W)."""
+    import numpy as np
+
+    from featureengineer_spark.operators.plda import pair_llr_matrices
+
+    q, p, c = pair_llr_matrices(np.asarray(b_cov), np.asarray(b_cov) + np.asarray(w_cov))
+    return score_trials_bilinear(enroll, test, trials, q, p, c, mean=mu, **kw)
+
+
+def score_trials_plda(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    model,
+    **kw,
+) -> DataFrame:
+    """PLDA trial scoring (Γ = VVᵀ, Λ = VVᵀ + Σ)."""
+    q, p, c = model.llr_matrices()
+    return score_trials_bilinear(enroll, test, trials, q, p, c, mean=model.mean, **kw)
+
+
 def fit_precision(df: DataFrame, vec_col: str = "embedding", eps: float = 1e-6):
     """Precision (inverse covariance) of a vector column — one distributed
     pass of numpy partials (see ``whitening.fit_whitener``), tiny inverse
