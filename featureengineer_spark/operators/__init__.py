@@ -10,7 +10,12 @@ from featureengineer_spark.operators.windows import (  # noqa: F401
     with_group_norm,
     with_cumulative,
 )
-from featureengineer_spark.operators.asof import asof_join, asof_join_pandas  # noqa: F401
+from featureengineer_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    asof_join_auto,
+    asof_join_pandas,
+    salted_asof_join,
+)
 from featureengineer_spark.operators.skew import detect_heavy_keys, salted_rolling_counts  # noqa: F401
 from featureengineer_spark.operators.tv import (  # noqa: F401
     TVModel,

@@ -171,6 +171,155 @@ def asof_join_pandas(
     )
 
 
+def salted_asof_join(
+    features: DataFrame,
+    anchors: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    anchor_ts_col: str = "anchor_ts",
+    tie_col: str = "turn_idx",
+    value_cols: Sequence[str] | None = None,
+    inclusive: bool = True,
+    matched_ts_col: str = "matched_ts",
+    chunk_seconds: float = 86400.0,
+) -> DataFrame:
+    """As-of join with a mega-entity path (W2/X5 graft — the reference's
+    "very long signals" batching, ``FeaGet.py:211-217``, applied to the
+    flagship join).
+
+    Both sides are chunked by TIME RANGE (``chunk_seconds``), so one
+    10⁷-turn conversation spreads over #chunks tasks instead of one:
+
+    * pass 1 — the union-tag window of :func:`asof_join`, but partitioned
+      by ``(entity, chunk)``;
+    * pass 2 — per-``(entity, chunk)`` latest packed feature row
+      (``max_by`` — a plain hash agg), then a per-entity backfill scan
+      over that tiny chunk-summary frame gives each chunk its carry-in,
+      joined back to fill anchors whose latest feature lies in an earlier
+      chunk.
+
+    Exact same results as :func:`asof_join`: chunking is by timestamp
+    only, so inclusive/strict tie handling (same ts ⇒ same chunk) is
+    untouched, and the carry is strictly from earlier chunks.
+    """
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
+    chunk_us = int(chunk_seconds * 1_000_000)
+
+    def _chunk(c):
+        from featureengineer_spark.functions.scalars import epoch_micros
+
+        return F.floor(epoch_micros(F.col(c)) / F.lit(chunk_us)).cast("long")
+
+    packed = F.struct(
+        F.col(ts_col).alias(matched_ts_col), *[F.col(c) for c in value_cols]
+    )
+    feat = features.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__t"),
+        (
+            F.col(tie_col).cast("long")
+            if tie_col in features.columns
+            else F.lit(0).cast("long")
+        ).alias("__tie"),
+        F.lit(0).alias(_TAG),
+        packed.alias("__row"),
+        _chunk(ts_col).alias("__chunk"),
+        *[
+            F.lit(None).cast(anchors.schema[c].dataType).alias(f"__a_{c}")
+            for c in passthrough
+        ],
+    )
+    row_type = feat.schema["__row"].dataType
+    atag = 1 if inclusive else -1
+    anch = anchors.select(
+        F.col(entity_col),
+        F.col(anchor_ts_col).alias("__t"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.lit(atag).alias(_TAG),
+        F.lit(None).cast(row_type).alias("__row"),
+        _chunk(anchor_ts_col).alias("__chunk"),
+        *[F.col(c).alias(f"__a_{c}") for c in passthrough],
+    )
+
+    unioned = feat.unionByName(anch)
+    w = (
+        Window.partitionBy(entity_col, "__chunk")
+        .orderBy(F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        entity_col,
+        "__chunk",
+        F.col("__t"),
+        F.col(_TAG),
+        F.last("__row", ignorenulls=True).over(w).alias("__row"),
+        *[F.col(f"__a_{c}") for c in passthrough],
+    )
+
+    # carry-in: latest feature row of each (entity, chunk) — hash agg,
+    # then the exclusive per-entity scan over the ≤#chunks summary rows
+    chunk_last = feat.groupBy(entity_col, "__chunk").agg(
+        F.max_by("__row", F.struct("__t", "__tie")).alias("__last_row")
+    )
+    w_scan = (
+        Window.partitionBy(entity_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # anchors in chunks with no features at all still need a carry: scan
+    # over the union of chunk ids, not just feature chunks
+    all_chunks = unioned.select(entity_col, "__chunk").distinct()
+    carries = (
+        all_chunks.join(chunk_last, on=[entity_col, "__chunk"], how="left")
+        .select(
+            entity_col,
+            "__chunk",
+            F.last("__last_row", ignorenulls=True).over(w_scan).alias("__carry"),
+        )
+    )
+
+    joined = filled.join(carries, on=[entity_col, "__chunk"], how="left")
+    out = (
+        joined.filter(F.col(_TAG) == atag)
+        .withColumn("__row", F.coalesce(F.col("__row"), F.col("__carry")))
+        .select(
+            F.col(entity_col),
+            F.col("__t").alias(anchor_ts_col),
+            *[F.col(f"__a_{c}").alias(c) for c in passthrough],
+            F.col(f"__row.{matched_ts_col}").alias(matched_ts_col),
+            *[F.col(f"__row.{c}").alias(c) for c in value_cols],
+        )
+    )
+    return out
+
+
+def asof_join_auto(
+    features: DataFrame,
+    anchors: DataFrame,
+    heavy_threshold: int = 1_000_000,
+    chunk_seconds: float = 86400.0,
+    entity_col: str = "conv_id",
+    **kw,
+) -> DataFrame:
+    """Skew-aware as-of join: a cheap count-agg probe on the feature side
+    picks the salted time-chunked path when any entity exceeds
+    ``heavy_threshold`` rows (same contract as ``rolling_counts_auto``)."""
+    from featureengineer_spark.operators.skew import detect_heavy_keys
+
+    has_heavy = bool(
+        detect_heavy_keys(features, key=entity_col, threshold=heavy_threshold)
+        .limit(1)
+        .count()
+    )
+    if has_heavy:
+        return salted_asof_join(
+            features, anchors, entity_col=entity_col, chunk_seconds=chunk_seconds, **kw
+        )
+    return asof_join(features, anchors, entity_col=entity_col, **kw)
+
+
 def interval_join(
     intervals: DataFrame,
     anchors: DataFrame,

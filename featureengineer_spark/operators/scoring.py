@@ -212,29 +212,84 @@ def det_curve(
     scored: DataFrame,
     score_col: str = "score",
     target_col: str = "is_target",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """DET operating points: for each distinct threshold (= each score,
     descending), the miss rate P(score < thr | target) and false-alarm
-    rate P(score >= thr | non-target).
+    rate P(score >= thr | non-target) — ``jyh/result.py:48-59``.
 
-    One global sort + two cumulative Window sums — the distributed form
-    of ``jyh/result.py:48-59``. Ties broken by (score, is_target) for
-    determinism.
+    Scale-safe cumulative sums: scores are range-bucketed by approximate
+    quantiles (one pass), the running counts are computed per bucket in
+    parallel, and an exclusive scan over the tiny per-bucket totals frame
+    (``n_buckets`` rows) supplies the cross-bucket offsets — the same
+    two-pass prefix-scan trick as ``skew.salted_cumulative``. No window
+    ever sees more than one bucket of rows, so a 10⁹-trial score set
+    never funnels through a single task. Ties cannot cross buckets
+    (bucketing is by score only), so the output is EXACTLY the global
+    sort's. ``n_buckets<=1`` falls back to the single global window.
     """
     totals = scored.agg(
         F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("n_tar"),
         F.sum(F.when(~F.col(target_col), 1).otherwise(0)).alias("n_non"),
     )
-    w = (
-        Window.orderBy(F.col(score_col).desc(), F.col(target_col).desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = scored.select(
-        F.col(score_col),
-        F.col(target_col),
-        F.sum(F.when(F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_tar"),
-        F.sum(F.when(~F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_non"),
-    )
+
+    bounds: list[float] = []
+    if n_buckets and n_buckets > 1:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(scored.approxQuantile(score_col, qs, 0.001)))
+
+    if bounds:
+        lit_bounds = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket = #boundaries strictly above this score → bucket 0 holds
+        # the highest scores; cumulative order = ascending bucket id
+        bucket = F.aggregate(
+            lit_bounds,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(score_col) < b, 1).otherwise(0),
+        )
+        base = scored.select(
+            F.col(score_col), F.col(target_col), bucket.alias("__bkt")
+        )
+        w_in = (
+            Window.partitionBy("__bkt")
+            .orderBy(F.col(score_col).desc(), F.col(target_col).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = base.select(
+            score_col,
+            target_col,
+            "__bkt",
+            F.sum(F.when(F.col(target_col), 1).otherwise(0)).over(w_in).alias("__loc_tar"),
+            F.sum(F.when(~F.col(target_col), 1).otherwise(0)).over(w_in).alias("__loc_non"),
+        )
+        bkt_totals = base.groupBy("__bkt").agg(
+            F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("__bt"),
+            F.sum(F.when(~F.col(target_col), 1).otherwise(0)).alias("__bn"),
+        )
+        # exclusive scan over ≤ n_buckets rows — driver-scale by design
+        w_scan = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = bkt_totals.select(
+            "__bkt",
+            F.coalesce(F.sum("__bt").over(w_scan), F.lit(0)).alias("__off_tar"),
+            F.coalesce(F.sum("__bn").over(w_scan), F.lit(0)).alias("__off_non"),
+        )
+        cum = local.join(F.broadcast(offsets), on="__bkt", how="inner").select(
+            F.col(score_col),
+            F.col(target_col),
+            (F.col("__loc_tar") + F.col("__off_tar")).alias("__cum_tar"),
+            (F.col("__loc_non") + F.col("__off_non")).alias("__cum_non"),
+        )
+    else:
+        w = (
+            Window.orderBy(F.col(score_col).desc(), F.col(target_col).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = scored.select(
+            F.col(score_col),
+            F.col(target_col),
+            F.sum(F.when(F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_tar"),
+            F.sum(F.when(~F.col(target_col), 1).otherwise(0)).over(w).alias("__cum_non"),
+        )
     return cum.crossJoin(F.broadcast(totals)).select(
         F.col(score_col).alias("threshold"),
         # accepted = score >= thr; misses are targets NOT yet seen

@@ -60,3 +60,47 @@ def test_anchor_before_first_turn_yields_null(transcripts, anchors):
     out = asof_join(transcripts, anchors, value_cols=VALUE_COLS).toPandas()
     # every conv got one anchor 1s before its first turn → null match
     assert out["matched_ts"].isna().sum() >= transcripts.select("conv_id").distinct().count()
+
+
+def test_salted_asof_equals_plain(transcripts, anchors):
+    """Mega-entity (time-chunked) as-of join must be exactly equivalent to
+    the plain union-tag window, including anchors whose match lies in an
+    earlier chunk and anchors with no prior feature at all."""
+    from featureengineer_spark.operators.asof import salted_asof_join
+
+    plain = _norm(asof_join(transcripts, anchors, value_cols=VALUE_COLS).toPandas())
+    # tiny chunks (60s) force many cross-chunk carries on the mega conv
+    salted = _norm(
+        salted_asof_join(
+            transcripts, anchors, value_cols=VALUE_COLS, chunk_seconds=60.0
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_asof_strict_equals_plain(transcripts, anchors):
+    from featureengineer_spark.operators.asof import salted_asof_join
+
+    plain = _norm(
+        asof_join(transcripts, anchors, value_cols=VALUE_COLS, inclusive=False).toPandas()
+    )
+    salted = _norm(
+        salted_asof_join(
+            transcripts, anchors, value_cols=VALUE_COLS, inclusive=False, chunk_seconds=60.0
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_auto_routes(transcripts, anchors):
+    from featureengineer_spark.operators.asof import asof_join_auto
+
+    out_heavy = asof_join_auto(
+        transcripts, anchors, heavy_threshold=500, chunk_seconds=60.0, value_cols=VALUE_COLS
+    )
+    out_light = asof_join_auto(
+        transcripts, anchors, heavy_threshold=10**9, value_cols=VALUE_COLS
+    )
+    a = _norm(out_heavy.toPandas())
+    b = _norm(out_light.toPandas())
+    pd.testing.assert_frame_equal(a, b)

@@ -91,3 +91,48 @@ def test_mahalanobis_scoring_matches_numpy(spark, trial_data):
     allv = np.vstack([ev, tv])
     cov = np.cov(allv, rowvar=False, ddof=0)
     np.testing.assert_allclose(m @ cov, np.eye(ev.shape[1]), atol=1e-4)
+
+
+def test_det_curve_bucketed_equals_global(spark):
+    """The range-bucketed two-pass DET must equal the single-window form
+    exactly, and its full-input window must be partitioned (no global
+    funnel — the scale guard from jyh/result.py's cumsum graft)."""
+    import pandas as pd
+
+    from featureengineer_spark.operators.scoring import det_curve
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "score": np.round(rng.standard_normal(n), 3),  # many ties
+            "is_target": rng.random(n) < 0.3,
+        }
+    )
+    scored = spark.createDataFrame(pdf)
+
+    bucketed = det_curve(scored, n_buckets=16)
+    global_ = det_curve(scored, n_buckets=1)
+
+    key = ["threshold", "miss_rate", "fa_rate"]
+    a = bucketed.toPandas().sort_values(key).reset_index(drop=True)
+    b = global_.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # plan guard: every window over the full trial-row input must be
+    # partitioned (first spec argument = partition column, no sort
+    # direction); an unpartitioned window is only allowed for the
+    # <= n_buckets totals scan (its aggregates are __bt/__bn sums).
+    plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+    partitioned, unpartitioned = 0, 0
+    for ln in plan.splitlines():
+        parts = ln.split("windowspecdefinition(")
+        for spec in parts[1:]:
+            first_arg = spec.split(",", 1)[0]
+            if "ASC" in first_arg or "DESC" in first_arg:
+                unpartitioned += 1
+                assert "__bt" in ln or "__bn" in ln, f"global window over trials: {ln}"
+            else:
+                partitioned += 1
+                assert first_arg.startswith("__bkt"), ln
+    assert partitioned >= 1, "bucketed path not taken"
