@@ -1004,8 +1004,12 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
                                    i -> array_to_string(ws[i:i+2], ' '))) AS grams
               FROM w
-            ), e AS (
+            ), e0 AS (
               SELECT doc_id, unnest(grams) AS sh FROM g
+            ), e AS (  -- stop-shingle cap (max document frequency 1000)
+              SELECT e0.doc_id, e0.sh FROM e0
+              JOIN (SELECT sh FROM e0 GROUP BY sh HAVING count(*) <= 1000) k
+                ON k.sh = e0.sh
             ), sizes AS (
               SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
             ), inter AS (

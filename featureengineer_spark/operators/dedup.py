@@ -178,14 +178,27 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks; two
     hashes within hamming d < blocks must agree on ≥1 chunk, so the
     self-join is on (chunk_idx, chunk_value) buckets — never n².
+
+    The guarantee requires ``max_hamming < blocks``: by default blocks is
+    derived as ``max_hamming + 1`` (full recall); passing a smaller
+    ``blocks`` explicitly raises rather than silently dropping pairs
+    whose differing bits span every chunk.
     """
+    if blocks is None:
+        blocks = min(max_hamming + 1, 64)
+    elif max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks}); pairs with "
+            f"{blocks}..{max_hamming} differing bits could be missed"
+        )
     sh = simhash(df, id_col, text_col)
     width = 64 // blocks
     mask = (1 << width) - 1
@@ -234,16 +247,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     inverted-index self-join: explode distinct shingles, join on shingle,
     count intersections, then |A∪B| = |A|+|B|−|A∩B|. Output
     (id_a, id_b, jaccard ≥ threshold).
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (standard stop-shingle practice): a shingle
+    shared by m docs contributes O(m²) join rows, so one stop phrase
+    across a large corpus is otherwise a single-reducer bomb. Jaccard is
+    then computed over the capped shingle sets on both the intersection
+    AND size sides (consistent definition). ``None`` disables the cap.
     """
     sh = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, n)).alias("__sh")
     )
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+        keep = dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh")
+        sh = sh.join(keep, on="__sh", how="inner")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -275,28 +300,59 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_planes: int | None = 8,
+    n_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
-    Brute-force formulation (id_a < id_b); at corpus scale route through
-    ``similarity.lsh_bucket_candidates`` first to bound the pair space.
+    Default path is LSH-bucketed: vectors are hashed into ``n_tables``
+    OR'd random-hyperplane tables (``similarity.hyperplane_tables``), the
+    self-join runs on (table, bucket) — never n² — and exact cosine is
+    verified within buckets. At cosine 0.95 a (8-plane, 6-table) scheme
+    collides with probability ≈ 1−(1−0.9⁸)⁶ ≈ 0.97 per near-dup pair.
+    ``n_planes=None`` selects the exact brute-force cartesian (test /
+    small-corpus baseline only — quadratic).
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     e = emb.select(
         F.col(id_col), F.col(vec_col), norm.alias("__norm")
     ).filter(F.col("__norm") > 0)
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+
+    def _flat(joined):
+        return joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (F.col("a.__norm") * F.col("b.__norm"))).alias("cosine"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+            F.col("a.__norm").alias("__na"),
+            F.col("b.__norm").alias("__nb"),
+        )
+
+    if n_planes is None:
+        a, b = e.alias("a"), e.alias("b")
+        cand = _flat(a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        from featureengineer_spark.operators.similarity import hyperplane_tables
+
+        dim = len(emb.select(vec_col).first()[0])
+        tab = hyperplane_tables(e, dim, n_planes, n_tables, vec_col, seed)
+        a, b = tab.alias("a"), tab.alias("b")
+        cand = _flat(
+            a.join(
+                b,
+                (F.col("a.table_idx") == F.col("b.table_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+        ).dropDuplicates(["id_a", "id_b"])
+
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -94,32 +94,72 @@ def hyperplane_signature(
     return df.withColumn(out_col, acc)
 
 
+def hyperplane_tables(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified SRP LSH: one (table_idx, bucket) row per vector per
+    table, each table drawn from an independent hyperplane set.
+
+    A single hash table has a recall cliff (a near neighbor missing one
+    bit of one signature is lost); with T OR'd tables the miss
+    probability decays as (1−pⁿ)ᵀ. Output is exploded long-form so the
+    candidate join is a plain equi join on (table_idx, bucket)."""
+    out = df
+    for t in range(n_tables):
+        out = hyperplane_signature(
+            out, dim, n_planes, vec_col, seed + 1013 * t, out_col=f"__b{t}"
+        )
+    return out.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"), F.col(f"__b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(*df.columns, "__tb.table_idx", "__tb.bucket")
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket,
-    then exact cosine ranking within the bucket. At corpus scale the
-    bucket join replaces the |Q|×|C| scan with |Q|×|C|/2^planes expected
-    pairs; recall is tuned via ``n_planes`` (fewer planes → bigger
-    buckets → higher recall)."""
-    c = hyperplane_signature(
+    """Approximate top-k: candidates limited to vectors sharing any of the
+    query's ``n_tables`` LSH buckets (OR amplification), then exact
+    cosine ranking within the candidate set. At corpus scale the bucket
+    join replaces the |Q|×|C| scan with ~|Q|×|C|·T/2^planes expected
+    pairs; recall rises with ``n_tables``, candidate cost with
+    ``n_planes`` lowered."""
+    c = hyperplane_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        dim, n_planes, vec_col, seed,
+        dim, n_planes, n_tables, vec_col, seed,
     ).withColumn("__cn", _norm(vec_col)).filter(F.col("__cn") > 0)
-    q = hyperplane_signature(
+    q = hyperplane_tables(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
-        dim, n_planes, "__qv", seed,
+        dim, n_planes, n_tables, "__qv", seed,
     ).withColumn("__qn", _norm("__qv")).filter(F.col("__qn") > 0)
-    pairs = c.join(F.broadcast(q), on="lsh_bucket").filter(
-        F.col("neighbor_id") != F.col(query_id_col)
+    pairs = (
+        c.join(F.broadcast(q), on=["table_idx", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        # a pair colliding in several tables must score once
+        .dropDuplicates(["neighbor_id", query_id_col])
     )
     scored = pairs.select(
         query_id_col,

@@ -80,9 +80,19 @@ def read_csv_spine(
     # regex delimiter: read raw lines, split, project into the schema
     raw = spark.read.text(path)
     if header:
-        raw = raw.withColumn("__rn", F.monotonically_increasing_id()).filter(
-            F.col("__rn") > 0
-        ).drop("__rn")
+        # skip the header PER FILE (a glob input has one header per file;
+        # a single global first-row filter would cast the other files'
+        # header lines into null-filled data rows)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        raw = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .drop("__rn")
+        )
     parts = F.split(F.col("value"), sep)
     struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
     cols = [

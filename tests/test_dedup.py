@@ -1,0 +1,196 @@
+"""Dedup / similarity hot-path guarantees: stop-shingle capping, simhash
+pigeonhole recall, LSH OR-amplification recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORDS = [f"w{i:03d}" for i in range(200)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """40 docs in 8 near-dup families (5 variants each, one word swapped)
+    — every doc also shares one universal stop phrase."""
+    rng = np.random.default_rng(5)
+    rows = []
+    doc_id = 0
+    for fam in range(8):
+        base = list(rng.choice(WORDS, size=30, replace=False))
+        for v in range(5):
+            words = base.copy()
+            words[3 + v] = f"uniq{fam}x{v}"
+            text = "the common preamble phrase " + " ".join(words)
+            rows.append((doc_id, text))
+            doc_id += 1
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    return spark.createDataFrame(rows, schema).repartition(4).cache()
+
+
+def _jaccard_oracle(texts, n, cap):
+    """pandas/python oracle with the same capped-shingle definition."""
+    import itertools
+
+    def shingles(t):
+        ws = t.lower().split()
+        return set(" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 1)))
+
+    sets = {i: shingles(t) for i, t in texts}
+    df_count = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    capped = {i: {sh for sh in s if df_count[sh] <= cap} for i, s in sets.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        inter = len(capped[a] & capped[b])
+        union = len(capped[a] | capped[b])
+        if inter and union:
+            out[(a, b)] = inter / union
+    return out
+
+
+def test_ngram_jaccard_cap_matches_oracle(docs):
+    from featureengineer_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    cap = 10
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_df=cap
+        ).collect()
+    }
+    exp = {k: v for k, v in _jaccard_oracle(texts, 3, cap).items() if v >= 0.3}
+    assert set(got) == set(exp)
+    for k in exp:
+        np.testing.assert_allclose(got[k], exp[k], rtol=1e-9)
+
+
+def test_ngram_jaccard_cap_bounds_pair_space(docs, spark):
+    """A universal stop shingle must not quadratically explode the
+    candidate set: with the cap, the inverted-index join emits pairs only
+    for family-internal shingles (within-family pairs), never the
+    40·39/2 all-pairs set."""
+    from featureengineer_spark.operators.dedup import _word_shingles
+
+    cap = 10
+    sh = docs.select("doc_id", F.explode(_word_shingles("text", 3)).alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    kept = sh.join(dfreq.filter(F.col("df") <= cap), on="sh")
+    # candidate join size = Σ_shingle df² over kept shingles
+    def join_rows(frame):
+        return (
+            frame.groupBy("sh").agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
+
+    n_docs = docs.count()
+    capped_rows = join_rows(kept)
+    uncapped_rows = join_rows(sh)
+    # the universal stop shingles account for the bulk of the uncapped join
+    assert uncapped_rows - capped_rows >= n_docs * (n_docs - 1) / 2
+    # no kept shingle exceeds the cap → per-shingle fan-out is bounded
+    max_kept = (
+        kept.groupBy("sh").agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m")).collect()[0]["m"]
+    )
+    assert max_kept <= cap
+    # and the stop phrase really is universal in the uncapped index
+    max_all = (
+        sh.groupBy("sh").agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m")).collect()[0]["m"]
+    )
+    assert max_all == n_docs
+
+
+def test_simhash_near_dups_full_recall(docs):
+    """Default blocks=max_hamming+1 must find EVERY pair within the
+    radius (verified against the brute-force all-pairs hamming)."""
+    from featureengineer_spark.operators.dedup import simhash, simhash_near_dups
+
+    radius = 8
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=radius).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    exp = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= radius:
+                exp[(a, b)] = h
+    assert got == exp
+
+
+def test_simhash_near_dups_rejects_unsound_blocks(docs):
+    from featureengineer_spark.operators.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=8, blocks=4)
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """200 vectors in 20 tight clusters (near-dups within cluster)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + rng.standard_normal(16) * 0.05
+            rows.append((vid, v.tolist()))
+            vid += 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).repartition(4).cache()
+
+
+def test_ann_lsh_recall(clustered_vecs):
+    """OR-amplified LSH top-k must recall ≥0.9 of the exact top-k."""
+    from featureengineer_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    queries = clustered_vecs.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(clustered_vecs, queries, k=5)
+    approx = ann_topk_lsh(
+        clustered_vecs, queries, dim=16, k=5, n_planes=8, n_tables=6
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_embedding_near_dups_lsh_recall(clustered_vecs):
+    """Bucketed near-dup path must recover ≥0.9 of the brute-force pairs
+    and emit no false positives (exact cosine verified in-bucket)."""
+    from featureengineer_spark.operators.dedup import embedding_near_dups
+
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            clustered_vecs, threshold=0.99, n_planes=None
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            clustered_vecs, threshold=0.99, n_planes=8, n_tables=6
+        ).collect()
+    }
+    assert lsh <= brute  # in-bucket exact cosine ⇒ no false positives
+    assert len(lsh) / len(brute) >= 0.9, (len(lsh), len(brute))

@@ -59,3 +59,24 @@ def test_csv_spine_regex_delimiter(spark, tmp_path):
     )
     rows = {tuple(r) for r in df.collect()}
     assert rows == {("spk1", "seg1", 10, 20), ("spk2", "seg2", 30, 40)}
+
+
+def test_regex_csv_header_skipped_per_file(spark, tmp_path):
+    """A glob input has one header line PER FILE; every one must be
+    skipped (a single global first-row filter leaves the other files'
+    headers as null-cast data rows)."""
+    for i in range(3):
+        (tmp_path / f"part{i}.csv").write_text(
+            "id | name\n" + f"{i}1 | alpha{i}\n" + f"{i}2 | beta{i}\n"
+        )
+    df = read_csv_spine(
+        spark,
+        str(tmp_path / "*.csv"),
+        "id int, name string",
+        sep=r"\s*\|\s*",
+        header=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r["id"] is not None for r in rows)
+    assert sorted(r["id"] for r in rows) == [1, 2, 11, 12, 21, 22]
