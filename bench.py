@@ -55,24 +55,48 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+BENCH_BUCKETS = 64
+
+
 def transcripts_path(tmp: str = "/tmp") -> str:
-    return f"{tmp}/fe_bench_transcripts_v2c_{BENCH_CONVS}_m{BENCH_MEGA}x{BENCH_MEGA_LEN}.parquet"
+    return f"{tmp}/fe_bench_transcripts_v3b_{BENCH_CONVS}_m{BENCH_MEGA}x{BENCH_MEGA_LEN}.parquet"
 
 
 def ensure_transcripts(spark) -> tuple[str, int]:
     """Materialize the bench table in the engine's production layout:
-    conv-hash-clustered files sorted by (conv_id, ts, turn_idx) — the
-    Iceberg bucket(N, conv_id) physical layout, which lets featurize run
-    shuffle-free (clustered=True)."""
+    a BUCKETED table (``CLUSTERED BY (conv_id) SORTED BY (conv_id, ts,
+    turn_idx) INTO 64 BUCKETS`` — the Iceberg ``bucket(N, conv_id)``
+    physical layout). A bucketed scan reports hash partitioning to
+    Catalyst, so the whole per-conversation window stack runs with ZERO
+    exchanges (only an in-partition sort), and bucket files are never
+    split mid-conversation — the invariant ``featurize_fast(
+    clustered=True)`` relies on. The files are written once (bucketBy
+    writer); each run re-registers the external table (the in-memory
+    catalog forgets between sessions)."""
     path = transcripts_path()
     if not os.path.exists(path + "/_SUCCESS"):
         t = synth_transcripts_spark(
             spark, n_convs=BENCH_CONVS, mega=BENCH_MEGA, mega_len=BENCH_MEGA_LEN, seed=7
         )
-        t.repartition(64, "conv_id").sortWithinPartitions(
-            "conv_id", "ts", "turn_idx"
-        ).write.mode("overwrite").parquet(path)
-    n = spark.read.parquet(path).count()
+        (
+            t.repartition(BENCH_BUCKETS, "conv_id")
+            .write.mode("overwrite")
+            .bucketBy(BENCH_BUCKETS, "conv_id")
+            .sortBy("conv_id", "ts", "turn_idx")
+            .option("path", path)
+            .saveAsTable("fe_bench_transcripts_build")
+        )
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql("DROP TABLE IF EXISTS fe_bench_transcripts")
+    spark.sql(
+        f"CREATE TABLE fe_bench_transcripts ({ddl}) USING parquet "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) "
+        f"INTO {BENCH_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+    n = spark.table("fe_bench_transcripts").count()
     return path, n
 
 
@@ -112,9 +136,11 @@ def main() -> None:
         _noop(df)
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    # flagship transcript pipeline at bench scale
+    # flagship transcript pipeline at bench scale — the bucketed table
+    # scan makes the window stack exchange-free (plan-guarded in
+    # tests/test_plans.py)
     path, n_turns = ensure_transcripts(spark)
-    t = spark.read.parquet(path)
+    t = spark.table("fe_bench_transcripts")
     t0 = time.perf_counter()
     _noop(feature_pipeline(t))
     windows_s = time.perf_counter() - t0
@@ -126,19 +152,23 @@ def main() -> None:
     timings["transcript_featurize"] = round(feat_s, 4)
 
     # flagship as-of join: PIT-attach latest turn features to per-conv
-    # anchors (10% of turns sampled deterministically as probes)
+    # anchors (10% of turns sampled deterministically as probes). The
+    # feature side is persisted so the timed pass measures the JOIN, not
+    # a re-run of featurize (featurize is timed separately above).
     from featureengineer_spark.operators import asof_join
 
     anchors = t.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(10)) == 0).select(
         "conv_id", F.col("ts").alias("anchor_ts")
     )
-    feats = featurize_fast(t, clustered=True)
+    feats = featurize_fast(t, clustered=True).persist()
+    feats.count()  # materialize outside the timed region
     aj = asof_join(feats, anchors, value_cols=["turn_idx", "feature_vec"])
     _noop(aj)
     t0 = time.perf_counter()
     _noop(aj)
     asof_s = time.perf_counter() - t0
     timings["transcript_asof_join"] = round(asof_s, 4)
+    feats.unpersist()
 
     total = round(sum(timings.values()), 4)
     print(

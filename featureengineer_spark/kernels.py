@@ -432,6 +432,30 @@ def featurize(df: DataFrame, model: FeatureModel | None = None) -> DataFrame:
     return df.groupBy("conv_id").applyInPandas(fn, schema=FEATURIZE_SCHEMA)
 
 
+def learn_feature_model(df: DataFrame) -> FeatureModel:
+    """Learn the projection FROM DATA instead of the fixed seeded matrix:
+    one distributed pass fits a PCA whitener (eigh of the covariance,
+    in-cluster-reduced partials) over the expanding-standardized per-turn
+    statistics, and the whitening matrix becomes ``FeatureModel.proj``.
+
+    This is the engine's per-turn analog of the reference learning its
+    projection from accumulated statistics rather than fixing it
+    (``IVector.py:131-244``); for the full supervector-level learned
+    projection see ``operators.tv.train_total_variability``. The learned
+    model plugs into :func:`featurize` / :func:`featurize_fast` /
+    :func:`featurize_sql` unchanged, and by construction the projected
+    feature covariance is the identity (decorrelated features).
+    """
+    import numpy as np
+
+    from featureengineer_spark.operators.whitening import fit_whitener
+
+    ident = FeatureModel(proj=np.eye(FEATURE_DIM))
+    feats = featurize_fast(df, model=ident)
+    _, w = fit_whitener(feats, vec_col="feature_vec")
+    return FeatureModel(proj=w)
+
+
 def save_model(model: FeatureModel, path: str) -> None:
     """Per-stage model checkpoint (S7 graft — the reference writes
     ``factor_analyser.write(output + "_it{}.h5")`` per EM iteration,

@@ -298,6 +298,37 @@ def det_curve(
     )
 
 
+def min_dcf(
+    scored: DataFrame,
+    p_target: float = 0.01,
+    c_miss: float = 1.0,
+    c_fa: float = 1.0,
+    score_col: str = "score",
+    target_col: str = "is_target",
+) -> DataFrame:
+    """Minimum normalized detection cost (the cost-weighted operating
+    point of the reference's evaluation family, ``jyh/result.py``; the
+    NIST SRE DCF definition):
+
+        DCF(θ) = C_miss·P_tar·P_miss(θ) + C_fa·(1−P_tar)·P_fa(θ)
+        minDCF = min_θ DCF(θ) / min(C_miss·P_tar, C_fa·(1−P_tar))
+
+    One row: (min_dcf). Runs over :func:`det_curve`'s scale-safe
+    operating-point frame — a single agg, no extra sort."""
+    det = det_curve(scored, score_col, target_col)
+    cost = (
+        F.lit(c_miss * p_target) * F.col("miss_rate")
+        + F.lit(c_fa * (1.0 - p_target)) * F.col("fa_rate")
+    )
+    norm = min(c_miss * p_target, c_fa * (1.0 - p_target))
+    # the θ → ∞ operating point (reject all: miss=1, fa=0, cost
+    # C_miss·P_tar) is a valid threshold not present in the per-score
+    # frame; accept-all IS (the lowest threshold row)
+    return det.agg(
+        F.least(F.min(cost), F.lit(c_miss * p_target)).alias("__c")
+    ).select((F.col("__c") / F.lit(norm)).alias("min_dcf"))
+
+
 def eer(scored: DataFrame, score_col: str = "score", target_col: str = "is_target") -> float:
     """Equal error rate: operating point minimizing |miss - fa| (top-1 by
     ``orderBy(...).limit(1)`` — the argmin graft, ``jyh/result.py:56-58``)."""

@@ -70,6 +70,49 @@ def fit_whitener(
     return mean, w
 
 
+def fit_sphnorm(
+    df: DataFrame, vec_col: str = "feature_vec", n_iter: int = 2, eps: float = 1e-8
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Spherical nuisance normalization (the reference's sphnorm /
+    ``estimate_spectral_norm``, ``IVector.py:1404-1408``): iteratively
+    fit (mean, whitener) on the CURRENT embedding of the data, apply
+    whiten + length-norm, refit — each round pushes the population closer
+    to zero-mean, identity-covariance on the unit sphere, which is the
+    geometry PLDA's Gaussian assumptions want.
+
+    Returns the list of per-iteration (mean, W); apply in order with
+    :func:`apply_sphnorm`. Each iteration is one distributed covariance
+    pass (in-cluster reduced) — no data is collected."""
+    params: list[tuple[np.ndarray, np.ndarray]] = []
+    cur = df.select(F.col(vec_col).alias(vec_col))
+    for _ in range(n_iter):
+        mean, w = fit_whitener(cur, vec_col=vec_col, eps=eps)
+        params.append((mean, w))
+        cur = apply_whitening(
+            cur, mean, w, vec_col=vec_col, out_col=vec_col, length_norm=True
+        )
+    return params
+
+
+def apply_sphnorm(
+    df: DataFrame,
+    params: list[tuple[np.ndarray, np.ndarray]],
+    vec_col: str = "feature_vec",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply the sphnorm iterations in training order (whiten +
+    length-norm per step)."""
+    out_col = out_col or vec_col
+    cur = df
+    src = vec_col
+    for mean, w in params:
+        cur = apply_whitening(
+            cur, mean, w, vec_col=src, out_col=out_col, length_norm=True
+        )
+        src = out_col
+    return cur
+
+
 def apply_whitening(
     df: DataFrame,
     mean: np.ndarray,

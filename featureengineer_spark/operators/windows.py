@@ -283,24 +283,51 @@ def with_deterministic_crop(
     idx_col: str = "turn_idx",
     order_cols: Sequence[str] = ("ts", "turn_idx"),
     salt: int = 2654435761,
+    tile: bool = False,
 ) -> DataFrame:
     """Fixed-length contiguous crop per entity at a deterministic,
     hash-derived offset — the seeded random fixed-length crop graft
     (W7, ``DataInteger.py:383-388``) made reproducible: offset =
-    hash(entity) mod (n - length + 1). Entities shorter than ``length``
-    are returned whole (the reference tiles them; tiling is a downstream
-    concern)."""
+    hash(entity) mod (n - length + 1).
+
+    ``tile=False``: entities shorter than ``length`` are returned whole.
+    ``tile=True``: short entities are TILED — rows repeated cyclically to
+    exactly ``length`` rows (the reference's short-sequence handling,
+    ``DataInteger.py:417-428``) — and a ``crop_pos`` column (0..length-1)
+    gives the output position; every entity then yields exactly
+    ``length`` rows. Pure window + explode — no UDF.
+    """
     w = turn_window(entity_col, order_cols)
     wc = Window.partitionBy(entity_col)
     rn = F.row_number().over(w)
     n = F.count("*").over(wc)
     span = F.greatest(n - length + 1, F.lit(1))
     off = F.pmod(F.xxhash64(F.lit(salt), F.col(entity_col)), span)
+    if not tile:
+        return (
+            df.withColumn("__rn", rn)
+            .withColumn("__off", off)
+            .filter((F.col("__rn") > F.col("__off")) & (F.col("__rn") <= F.col("__off") + length))
+            .drop("__rn", "__off")
+        )
+    base = df.withColumn("__rn", rn).withColumn("__n", n).withColumn("__off", off)
+    reps = F.when(F.col("__n") >= length, F.lit(1)).otherwise(
+        F.ceil(F.lit(length) / F.col("__n")).cast("int")
+    )
+    out = base.select(
+        *df.columns,
+        "__rn",
+        "__n",
+        "__off",
+        F.explode(F.sequence(F.lit(0), reps - 1)).alias("__r"),
+    )
+    pos = F.when(
+        F.col("__n") >= length, F.col("__rn") - 1 - F.col("__off")
+    ).otherwise(F.col("__rn") - 1 + F.col("__r") * F.col("__n"))
     return (
-        df.withColumn("__rn", rn)
-        .withColumn("__off", off)
-        .filter((F.col("__rn") > F.col("__off")) & (F.col("__rn") <= F.col("__off") + length))
-        .drop("__rn", "__off")
+        out.withColumn("crop_pos", pos.cast("int"))
+        .filter((F.col("crop_pos") >= 0) & (F.col("crop_pos") < length))
+        .drop("__rn", "__n", "__off", "__r")
     )
 
 

@@ -44,8 +44,11 @@ LEVELS = (2, 8, 32)
 PRIMARY = (2, 8)  # N vs 4N below the box's memory-bandwidth saturation
 
 
+N_BUCKETS = 256
+
+
 def data_path() -> str:
-    return f"/tmp/fe_scale_clustered_c{N_CONVS}_m{MEGA}x{MEGA_LEN}.parquet"
+    return f"/tmp/fe_scale_bucketed_c{N_CONVS}_m{MEGA}x{MEGA_LEN}.parquet"
 
 
 def ensure_input() -> None:
@@ -57,15 +60,39 @@ def ensure_input() -> None:
 
     spark = get_spark(master="local[32]", shuffle_partitions=256, app_name="fe-scale-gen")
     spark.sparkContext.setLogLevel("ERROR")
-    # conv-hash clustering + within-file sort = Iceberg bucket layout;
-    # 256 files keeps every file well under maxPartitionBytes (no split
-    # may cut through a conversation) and leaves scan parallelism >> 32.
-    synth_transcripts_spark(
-        spark, n_convs=N_CONVS, mega=MEGA, mega_len=MEGA_LEN, seed=7
-    ).repartition(256, "conv_id").sortWithinPartitions(
-        "conv_id", "ts", "turn_idx"
-    ).write.mode("overwrite").parquet(path)
+    # bucketed write = Iceberg bucket(N, conv_id) layout; 256 buckets
+    # keeps scan parallelism >> 32 and Spark never splits a bucket file,
+    # so no file boundary can cut through a conversation.
+    (
+        synth_transcripts_spark(
+            spark, n_convs=N_CONVS, mega=MEGA, mega_len=MEGA_LEN, seed=7
+        )
+        .repartition(N_BUCKETS, "conv_id")
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "conv_id")
+        .sortBy("conv_id", "ts", "turn_idx")
+        .option("path", path)
+        .saveAsTable("fe_scale_transcripts_build")
+    )
     spark.stop()
+
+
+def register_bucketed(spark, name: str = "fe_scale_transcripts"):
+    """Re-register the external bucketed table (in-memory catalog forgets
+    between sessions); the bucketed scan is what makes the window stack
+    exchange-free."""
+    path = data_path()
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) "
+        f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
 
 
 def child(cores: int) -> None:
@@ -80,7 +107,7 @@ def child(cores: int) -> None:
         extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    t = spark.read.parquet(data_path())
+    t = register_bucketed(spark)
     n = t.count()
 
     results = {}
@@ -123,9 +150,12 @@ def orchestrate() -> None:
         "",
         f"Input: deterministic synthetic transcript table, {n_turns:,} turns",
         f"({N_CONVS:,} conversations, {MEGA} mega-conversations of {MEGA_LEN:,} turns",
-        "each, Zipf-tailed lengths, sparse tool column), parquet in the engine's",
-        "production layout: conv-hash-clustered files, sorted by (conv_id, ts,",
-        "turn_idx) — the Iceberg bucket(N, conv_id) physical layout.",
+        "each, Zipf-tailed lengths, sparse tool column), stored as a BUCKETED",
+        f"table (CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) INTO",
+        f"{N_BUCKETS} BUCKETS — the Iceberg bucket(N, conv_id) physical layout).",
+        "The bucketed scan reports hash partitioning to Catalyst, so the whole",
+        "per-conversation window stack runs with ZERO exchanges (plan-guarded in",
+        "tests/test_plans.py) and bucket files are never split mid-conversation.",
         "",
         "## Two-cluster-size scaling (north rule: N vs 4N, efficiency >= 0.8)",
         "",

@@ -95,3 +95,18 @@ def test_featurize_fast_clustered_allclose(spark, transcripts, transcripts_pdf, 
         np.vstack(exp["feature_vec"].to_numpy()),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_learn_feature_model_whitens(spark, transcripts):
+    """The data-learned FeatureModel must plug into featurize unchanged
+    and produce identity-covariance features (decorrelation by
+    construction)."""
+    import numpy as np
+
+    from featureengineer_spark.kernels import featurize_fast, learn_feature_model
+
+    model = learn_feature_model(transcripts)
+    out = featurize_fast(transcripts, model=model)
+    vecs = np.array([r["feature_vec"] for r in out.select("feature_vec").collect()])
+    cov = np.cov(vecs, rowvar=False, ddof=0)
+    np.testing.assert_allclose(cov, np.eye(vecs.shape[1]), atol=1e-6)

@@ -84,3 +84,46 @@ def test_whole_stage_codegen_covers_window_stack(spark):
         assert "*(" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_window_stack_bucketed_zero_exchange(spark, tmp_path):
+    """Over a bucketed table (the bench/production layout) the entire
+    window stack must be exchange-free: the bucketed scan's hash
+    partitioning satisfies every per-conversation window's distribution,
+    so only an in-partition sort remains."""
+    from bench import feature_pipeline
+    from featureengineer_spark.data import synth_transcripts_spark
+
+    loc = str(tmp_path / "bucketed")
+    t = synth_transcripts_spark(spark, n_convs=50)
+    (
+        t.repartition(4, "conv_id")
+        .write.mode("overwrite")
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "ts", "turn_idx")
+        .option("path", loc)
+        .saveAsTable("plans_bucketed_build")
+    )
+    spark.sql("DROP TABLE IF EXISTS plans_bucketed")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(loc).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE plans_bucketed ({ddl}) USING parquet "
+        f"CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) "
+        f"INTO 4 BUCKETS LOCATION '{loc}'"
+    )
+    out = feature_pipeline(spark.table("plans_bucketed"))
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0, plan
+    assert "Bucketed: true" in plan, plan
+    # and the results equal the plain (exchanged) pipeline's
+    import pandas as pd
+
+    key = ["conv_id", "ts", "turn_idx"]
+    a = out.toPandas().sort_values(key).reset_index(drop=True)
+    b = feature_pipeline(t).toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    spark.sql("DROP TABLE IF EXISTS plans_bucketed")
+    spark.sql("DROP TABLE IF EXISTS plans_bucketed_build")

@@ -136,3 +136,34 @@ def test_det_curve_bucketed_equals_global(spark):
                 partitioned += 1
                 assert first_arg.startswith("__bkt"), ln
     assert partitioned >= 1, "bucketed path not taken"
+
+
+def test_min_dcf_matches_numpy(spark):
+    """minDCF vs a brute-force numpy sweep over all thresholds."""
+    import pandas as pd
+
+    from featureengineer_spark.operators.scoring import min_dcf
+
+    rng = np.random.default_rng(9)
+    tar = rng.standard_normal(300) + 1.2
+    non = rng.standard_normal(900)
+    pdf = pd.DataFrame(
+        {
+            "score": np.concatenate([tar, non]),
+            "is_target": [True] * len(tar) + [False] * len(non),
+        }
+    )
+    scored = spark.createDataFrame(pdf)
+    p_tar, cm, cf = 0.05, 1.0, 2.0
+    got = min_dcf(scored, p_target=p_tar, c_miss=cm, c_fa=cf).collect()[0]["min_dcf"]
+
+    scores = pdf["score"].to_numpy()
+    labels = pdf["is_target"].to_numpy()
+    thresholds = np.concatenate([np.unique(scores), [np.inf]])
+    best = np.inf
+    for t in thresholds:
+        miss = ((scores < t) & labels).sum() / labels.sum()
+        fa = ((scores >= t) & ~labels).sum() / (~labels).sum()
+        best = min(best, cm * p_tar * miss + cf * (1 - p_tar) * fa)
+    exp = best / min(cm * p_tar, cf * (1 - p_tar))
+    np.testing.assert_allclose(got, exp, rtol=1e-9)

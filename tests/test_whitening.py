@@ -61,3 +61,33 @@ def test_observe_metrics(spark, transcripts):
     got = obs.get
     assert got["n_rows"] == transcripts.count()
     assert got["n_convs_approx"] > 0
+
+
+def test_sphnorm_matches_numpy_iterations(spark, vec_df):
+    """Spherical nuisance normalization = iterated (whiten, length-norm);
+    each iteration must reproduce the numpy chain exactly."""
+    from featureengineer_spark.operators.whitening import apply_sphnorm, fit_sphnorm
+
+    df, x = vec_df
+    params = fit_sphnorm(df, vec_col="feature_vec", n_iter=2)
+
+    cur = x.copy()
+    for it, (mean, w) in enumerate(params):
+        # the fitted params must match a numpy fit on the CURRENT data
+        np.testing.assert_allclose(mean, cur.mean(axis=0), rtol=1e-8, atol=1e-10)
+        cov = np.cov(cur, rowvar=False, ddof=0)
+        vals, vecs = np.linalg.eigh(cov)
+        w_exp = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-8))) @ vecs.T
+        np.testing.assert_allclose(w, w_exp, rtol=1e-6, atol=1e-8)
+        y = (cur - mean) @ w.T
+        norms = np.linalg.norm(y, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cur = y / norms
+
+    out = apply_sphnorm(df, params, vec_col="feature_vec", out_col="sph")
+    got = {r["id"]: np.array(r["sph"]) for r in out.selectExpr("id", "sph").collect()}
+    for i in range(len(cur)):
+        np.testing.assert_allclose(got[i], cur[i], rtol=1e-6, atol=1e-8)
+    # geometry check: unit sphere, near-zero mean after 2 rounds
+    assert abs(np.linalg.norm(cur, axis=1) - 1.0).max() < 1e-9
+    assert np.abs(cur.mean(axis=0)).max() < 0.2

@@ -119,3 +119,35 @@ def test_deterministic_crop(spark, transcripts):
         .toPandas().sort_values(KEY).reset_index(drop=True)
     )
     assert a[["conv_id", "turn_idx"]].equals(b[["conv_id", "turn_idx"]])
+
+
+def test_deterministic_crop_tiling(spark):
+    """tile=True must emit EXACTLY `length` rows per entity: long
+    entities get the hash-offset crop, short ones repeat cyclically
+    (DataInteger.py:417-428 graft)."""
+    import pandas as pd
+
+    from featureengineer_spark.operators.windows import with_deterministic_crop
+
+    rows = []
+    for e, n in [("a", 3), ("b", 10), ("c", 7), ("d", 1)]:
+        for i in range(n):
+            rows.append((e, i, pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    )
+    length = 7
+    out = with_deterministic_crop(df, length, tile=True).toPandas()
+    for e, n in [("a", 3), ("b", 10), ("c", 7), ("d", 1)]:
+        sub = out[out["conv_id"] == e].sort_values("crop_pos")
+        assert len(sub) == length, (e, len(sub))
+        assert list(sub["crop_pos"]) == list(range(length))
+        if n <= length:
+            # cyclic repetition of the original sequence
+            assert list(sub["turn_idx"]) == [p % n for p in range(length)]
+        else:
+            # contiguous slice, same rows as the untiled crop
+            plain = with_deterministic_crop(
+                df.filter(df.conv_id == e), length
+            ).toPandas()
+            assert sorted(sub["turn_idx"]) == sorted(plain["turn_idx"])
