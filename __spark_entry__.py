@@ -582,6 +582,39 @@ def q_latent_factors(spark, sf):
     )
 
 
+def q_min_dcf(spark, sf):
+    """Minimum normalized detection cost over the cosine trial scores —
+    the reference's cost-weighted operating point (jyh/result.py family).
+    Fully SQL-expressible: the DuckDB oracle re-derives the DET frame and
+    minimizes the same cost."""
+    from featureengineer_spark.operators.scoring import min_dcf, score_trials
+
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = min_dcf(
+        score_trials(enroll, test, trials), p_target=0.05, c_miss=1.0, c_fa=2.0
+    )
+    return out.select(_r(F.col("min_dcf")).alias("min_dcf"))
+
+
+def q_crop_tiled(spark, sf):
+    """W7 with short-sequence tiling (DataInteger.py:417-428 graft):
+    every user yields exactly `length` rows; users with fewer events
+    repeat cyclically. Arithmetic offset (user_id·salt mod span) so the
+    oracle can replay it."""
+    from featureengineer_spark.operators.windows import with_deterministic_crop
+
+    ev = _t(spark, sf, "events")
+    out = with_deterministic_crop(
+        ev,
+        80,
+        entity_col="user_id",
+        order_cols=("ts", "event_id"),
+        tile=True,
+        entity_key=F.col("user_id"),
+    )
+    return out.select("user_id", "event_id", "crop_pos")
+
+
 def q_trial_scores_2cov(spark, sf):
     """Two-covariance trial scoring (IVector.py:1371-1394 graft), diagonal
     variant: per-dimension within/between variances estimated from the
@@ -736,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
+        "min_dcf": q_min_dcf,
+        "crop_tiled": q_crop_tiled,
         "trial_scores_2cov": q_trial_scores_2cov,
         "trial_scores_plda": q_trial_scores_plda,
         "lda_wccn_scores": q_lda_wccn_scores,
@@ -1112,6 +1147,60 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
               ON o_custkey = c_custkey
             WHERE c_name IS NOT NULL
+        """,
+        "min_dcf": """
+            WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el
+                       FROM embeddings WHERE vec_id < 20),
+            t AS (SELECT vec_id AS test_id, embedding::DOUBLE[] AS tv, label AS tl
+                  FROM embeddings WHERE vec_id >= 20),
+            s AS (
+              SELECT (el = tl) AS is_target,
+                     list_cosine_similarity(ev, tv) AS score
+              FROM e CROSS JOIN t
+              WHERE (enroll_id * 7 + test_id) % 5 = 0
+            ), tot AS (
+              SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tar,
+                     sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS n_non
+              FROM s
+            ), c AS (
+              SELECT score, is_target,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END)
+                       OVER (ORDER BY score DESC, is_target DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tar,
+                     sum(CASE WHEN is_target THEN 0 ELSE 1 END)
+                       OVER (ORDER BY score DESC, is_target DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_non
+              FROM s
+            ), costs AS (
+              SELECT 1.0 * 0.05 * (1.0 - cum_tar * 1.0 / n_tar)
+                   + 2.0 * 0.95 * (cum_non * 1.0 / n_non) AS dcf
+              FROM c CROSS JOIN tot
+            )
+            SELECT round(least(min(dcf), 1.0 * 0.05) / least(1.0 * 0.05, 2.0 * 0.95), 6)
+                   AS min_dcf
+            FROM costs
+        """,
+        "crop_tiled": f"""
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER ({_W}) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ), x AS (
+              SELECT user_id, event_id, rn, n,
+                     (user_id * 2654435761) % greatest(n - 80 + 1, 1) AS off,
+                     CASE WHEN n >= 80 THEN 1 ELSE CAST(ceil(80.0 / n) AS INT) END AS reps
+              FROM r
+            ), tiled AS (
+              SELECT user_id, event_id, rn, n, off, unnest(range(0, reps)) AS rep
+              FROM x
+            )
+            SELECT user_id, event_id,
+                   CAST(CASE WHEN n >= 80 THEN rn - 1 - off
+                             ELSE rn - 1 + rep * n END AS INTEGER) AS crop_pos
+            FROM tiled
+            WHERE (CASE WHEN n >= 80 THEN rn - 1 - off ELSE rn - 1 + rep * n END)
+                  BETWEEN 0 AND 79
         """,
         "trial_scores_2cov": """
             -- diagonal two-covariance pair LLR, re-derived per dimension:

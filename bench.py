@@ -170,6 +170,42 @@ def main() -> None:
     timings["transcript_asof_join"] = round(asof_s, 4)
     feats.unpersist()
 
+    # model back end: latent-factor extraction throughput (the analog of
+    # the reference's i-vector extraction stage, log.txt:648 — 40k+
+    # segments in 12,092 s ≈ 3.3 segments/s on the 2018 2-node rig).
+    # Stats synthesized JVM-side (deterministic hash arithmetic).
+    import numpy as np
+
+    from featureengineer_spark.operators.em import GMM
+    from featureengineer_spark.operators.tv import TVModel, extract_latent_factors
+
+    K_MIX, DIM, RANK, N_ENT = 64, 16, 50, 50_000
+    rng = np.random.default_rng(11)
+    ubm = GMM(
+        weights=np.full(K_MIX, 1.0 / K_MIX),
+        means=rng.standard_normal((K_MIX, DIM)),
+        variances=rng.uniform(0.5, 2.0, (K_MIX, DIM)),
+    )
+    tv = TVModel(F_mat=rng.standard_normal((K_MIX * DIM, RANK)) * 0.1, ubm=ubm)
+    ent = spark.range(N_ENT).select(F.col("id").cast("string").alias("conv_id"))
+    stats = ent.select(
+        "conv_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(K_MIX)),
+            lambda i: (F.pmod(F.xxhash64(F.col("conv_id"), i), F.lit(1000)) / 100.0 + 1.0),
+        ).alias("stat0"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(K_MIX * DIM)),
+            lambda i: (F.pmod(F.xxhash64(i, F.col("conv_id")), F.lit(2000)) / 500.0 - 2.0),
+        ).alias("stat1"),
+    ).repartition(int(cpus) * 2)
+    lat = extract_latent_factors(stats, tv)
+    _noop(lat)
+    t0 = time.perf_counter()
+    _noop(lat)
+    lat_s = time.perf_counter() - t0
+    timings["latent_extraction"] = round(lat_s, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -183,6 +219,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "turns_per_sec_window_stack": round(n_turns / windows_s, 1),
                 "turns_per_sec_featurize": round(n_turns / feat_s, 1),
+                "entities_per_sec_latent_extraction": round(N_ENT / lat_s, 1),
             }
         )
     )

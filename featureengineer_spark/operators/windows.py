@@ -284,6 +284,7 @@ def with_deterministic_crop(
     order_cols: Sequence[str] = ("ts", "turn_idx"),
     salt: int = 2654435761,
     tile: bool = False,
+    entity_key: Column | None = None,
 ) -> DataFrame:
     """Fixed-length contiguous crop per entity at a deterministic,
     hash-derived offset — the seeded random fixed-length crop graft
@@ -296,13 +297,20 @@ def with_deterministic_crop(
     ``DataInteger.py:417-428``) — and a ``crop_pos`` column (0..length-1)
     gives the output position; every entity then yields exactly
     ``length`` rows. Pure window + explode — no UDF.
+
+    ``entity_key``: optional numeric column replacing the xxhash64 offset
+    derivation with ``(key·salt) mod span`` — an arithmetic form any SQL
+    oracle can reproduce (xxhash64 cannot be replayed in DuckDB).
     """
     w = turn_window(entity_col, order_cols)
     wc = Window.partitionBy(entity_col)
     rn = F.row_number().over(w)
     n = F.count("*").over(wc)
     span = F.greatest(n - length + 1, F.lit(1))
-    off = F.pmod(F.xxhash64(F.lit(salt), F.col(entity_col)), span)
+    if entity_key is not None:
+        off = F.pmod(entity_key.cast("long") * F.lit(salt), span.cast("long"))
+    else:
+        off = F.pmod(F.xxhash64(F.lit(salt), F.col(entity_col)), span)
     if not tile:
         return (
             df.withColumn("__rn", rn)
