@@ -582,6 +582,56 @@ def q_latent_factors(spark, sf):
     )
 
 
+def q_trial_scores_maha_diag(spark, sf):
+    """Diagonal-Mahalanobis trial scoring (IVector.py:1345 graft):
+    score = −Σⱼ (eⱼ−tⱼ)²/varⱼ with per-dimension population variances —
+    every step plain arithmetic, so DuckDB verifies it end to end."""
+    import numpy as np
+
+    from featureengineer_spark.operators.scoring import score_trials_mahalanobis
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = 64
+    var_row = emb.agg(
+        *[F.var_pop(F.col("embedding")[i]).alias(f"v{i}") for i in range(d)]
+    ).collect()[0]
+    precision = np.diag([1.0 / var_row[f"v{i}"] for i in range(d)])
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = score_trials_mahalanobis(enroll, test, trials, precision)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
+def q_sphnorm_plda_scores(spark, sf):
+    """The reference's PLDA_Score chain (IVector.py:1398-1455): spherical
+    nuisance normalization (sphnorm, :1404-1408) then PLDA scoring over
+    the normalized vectors. Iterative eigensolves → rows-only check."""
+    from featureengineer_spark.operators.plda import train_plda
+    from featureengineer_spark.operators.scoring import score_trials_plda
+    from featureengineer_spark.operators.whitening import apply_sphnorm, fit_sphnorm
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    params = fit_sphnorm(emb, vec_col="embedding", n_iter=2)
+    normed = apply_sphnorm(emb, params, vec_col="embedding", out_col="embedding")
+    model = train_plda(normed, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5)
+    enroll = normed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("enroll_id"), "embedding"
+    )
+    test = normed.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("test_id"), "embedding"
+    )
+    _, _, trials = _trial_frames(spark, sf)
+    out = score_trials_plda(enroll, test, trials, model)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
 def q_min_dcf(spark, sf):
     """Minimum normalized detection cost over the cosine trial scores —
     the reference's cost-weighted operating point (jyh/result.py family).
@@ -771,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_drop": q_null_drop,
         "min_dcf": q_min_dcf,
         "crop_tiled": q_crop_tiled,
+        "trial_scores_maha_diag": q_trial_scores_maha_diag,
+        "sphnorm_plda_scores": q_sphnorm_plda_scores,
         "trial_scores_2cov": q_trial_scores_2cov,
         "trial_scores_plda": q_trial_scores_plda,
         "lda_wccn_scores": q_lda_wccn_scores,
@@ -1147,6 +1199,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
               ON o_custkey = c_custkey
             WHERE c_name IS NOT NULL
+        """,
+        "trial_scores_maha_diag": """
+            WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+            ev AS (
+              SELECT vec_id, label, j, CAST(embedding[j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ),
+            vs AS (SELECT j, var_pop(v) AS v2 FROM ev GROUP BY j),
+            pairs AS (
+              SELECT a.vec_id AS enroll_id, b.vec_id AS test_id,
+                     (a.label = b.label) AS is_target
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 20 AND b.vec_id >= 20
+                AND (a.vec_id * 7 + b.vec_id) % 5 = 0
+            )
+            SELECT p.enroll_id, p.test_id, p.is_target,
+                   round(-sum((e.v - t.v) * (e.v - t.v) / vs.v2), 6) AS score
+            FROM pairs p
+            JOIN ev e ON e.vec_id = p.enroll_id
+            JOIN ev t ON t.vec_id = p.test_id AND t.j = e.j
+            JOIN vs ON vs.j = e.j
+            GROUP BY 1, 2, 3
         """,
         "min_dcf": """
             WITH e AS (SELECT vec_id AS enroll_id, embedding::DOUBLE[] AS ev, label AS el
