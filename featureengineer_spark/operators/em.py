@@ -180,6 +180,53 @@ def train_gmm(
     return model
 
 
+def split_gmm(model: GMM, eps: float = 0.1) -> GMM:
+    """Binary mixture splitting: every component becomes two at
+    μ ± ε·σ with half the weight and the same variance — the growth step
+    of the reference's UBM schedule (``trainUBM`` 1→2→…→2ᵏ Gaussians,
+    ``IVector.py:1048-1053``; standard sidekit/HTK ``EM_split``)."""
+    k, d = model.means.shape
+    sd = np.sqrt(model.variances)
+    means = np.concatenate([model.means + eps * sd, model.means - eps * sd])
+    variances = np.concatenate([model.variances, model.variances])
+    weights = np.concatenate([model.weights, model.weights]) / 2.0
+    return GMM(weights, means, variances, model.llk_history)
+
+
+def train_gmm_split(
+    df: DataFrame,
+    vec_col: str = "feature_vec",
+    n_components: int = 8,
+    n_iter_per_stage: int = 3,
+    min_var: float = 1e-6,
+    eps: float = 0.1,
+) -> GMM:
+    """UBM training by EM with binary splitting (the reference's actual
+    algorithm): fit the exact single-Gaussian global model (one
+    distributed pass), then repeatedly split every component and run
+    ``n_iter_per_stage`` EM iterations at each size until
+    ``n_components`` (must be a power of two, like the reference's
+    1→2048 schedule). Fully deterministic — no random init at all."""
+    if n_components < 1 or (n_components & (n_components - 1)) != 0:
+        raise ValueError(f"n_components must be a power of two, got {n_components}")
+    d = len(df.select(vec_col).first()[0])
+    row = df.agg(
+        *[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(d)],
+        *[F.var_pop(F.col(vec_col)[i]).alias(f"v{i}") for i in range(d)],
+    ).collect()[0]
+    model = GMM(
+        weights=np.array([1.0]),
+        means=np.array([[row[f"m{i}"] for i in range(d)]]),
+        variances=np.maximum(np.array([[row[f"v{i}"] for i in range(d)]]), min_var),
+    )
+    while model.means.shape[0] < n_components:
+        model = split_gmm(model, eps)
+        model = train_gmm(
+            df, vec_col=vec_col, n_iter=n_iter_per_stage, min_var=min_var, model=model
+        )
+    return model
+
+
 def sufficient_stats(
     df: DataFrame,
     model: GMM,

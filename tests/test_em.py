@@ -74,3 +74,43 @@ def test_sufficient_stats_match_numpy(spark, gmm_data):
         s1 = (gamma[mask].T @ x[mask]).ravel()
         np.testing.assert_allclose(np.array(got.loc[c, "stat0"]), s0, rtol=1e-8)
         np.testing.assert_allclose(np.array(got.loc[c, "stat1"]), s1, rtol=1e-8, atol=1e-10)
+
+
+def test_train_gmm_split_matches_numpy(spark, gmm_data):
+    """The 1→2→4 splitting schedule must reproduce a numpy replication
+    exactly (deterministic — no random init), with monotone LLK within
+    each EM stage and cluster means recovered."""
+    from featureengineer_spark.operators.em import split_gmm, train_gmm_split
+
+    df, x = gmm_data
+    got = train_gmm_split(df, n_components=4, n_iter_per_stage=3)
+
+    model = GMM(
+        weights=np.array([1.0]),
+        means=x.mean(axis=0, keepdims=True),
+        variances=np.maximum(x.var(axis=0, ddof=0, keepdims=True), 1e-6),
+    )
+    for _ in range(2):  # 1 -> 2 -> 4
+        model = split_gmm(model)
+        model = numpy_em(x, model, n_iter=3)
+
+    np.testing.assert_allclose(got.weights, model.weights, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(got.means, model.means, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(got.variances, model.variances, rtol=1e-6, atol=1e-9)
+    # LLK monotone within each 3-iteration stage
+    h = got.llk_history
+    for s in range(2):
+        stage = h[s * 3 : (s + 1) * 3]
+        assert all(b >= a - 1e-9 for a, b in zip(stage, stage[1:])), h
+    # the split schedule should land near the true cluster means
+    true_means = np.random.default_rng(21).standard_normal((K, D)) * 3
+    for tm in true_means:
+        assert np.min(np.linalg.norm(got.means - tm, axis=1)) < 1.5
+
+
+def test_train_gmm_split_rejects_non_power_of_two(spark, gmm_data):
+    from featureengineer_spark.operators.em import train_gmm_split
+
+    df, _ = gmm_data
+    with pytest.raises(ValueError, match="power of two"):
+        train_gmm_split(df, n_components=3)

@@ -110,3 +110,34 @@ def test_clustering_validator(spark, transcripts, tmp_path):
     bad = str(tmp_path / "bad")
     transcripts.repartition(6).write.parquet(bad)  # round-robin splits convs
     assert clustering_violations(spark.read.parquet(bad)).count() > 0
+
+
+def test_ivector_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """The 5-stage model pipeline (mpiMain graft): end-to-end run, then a
+    re-run resumes EVERY stage from checkpoint (identical output, nothing
+    recomputed); a config change recomputes only downstream stages."""
+    import numpy as np
+
+    from featureengineer_spark.data import synth_transcripts_spark
+    from featureengineer_spark.plans.ivector import IVectorConfig, IVectorPipeline
+
+    t = synth_transcripts_spark(spark, n_convs=60, seed=3)
+    root = str(tmp_path / "iv")
+    cfg = IVectorConfig(n_components=2, ubm_iters_per_stage=2, tv_rank=3, tv_iters=2)
+
+    pipe = IVectorPipeline(spark, root, cfg)
+    out1 = pipe.run(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert pipe.executed == ["features", "ubm", "stats", "tv", "latent"]
+    assert len(out1) == 60 and all(len(v) == 3 for v in out1["latent"])
+
+    pipe2 = IVectorPipeline(spark, root, cfg)
+    out2 = pipe2.run(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert pipe2.executed == []  # full resume, nothing recomputed
+    for a, b in zip(out1["latent"], out2["latent"]):
+        np.testing.assert_allclose(np.array(a), np.array(b))
+
+    # changing TV config must recompute tv + latent but resume the rest
+    cfg3 = IVectorConfig(n_components=2, ubm_iters_per_stage=2, tv_rank=3, tv_iters=3)
+    pipe3 = IVectorPipeline(spark, root, cfg3)
+    pipe3.run(t)
+    assert pipe3.executed == ["tv", "latent"]
