@@ -295,6 +295,61 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = min doc id in the
+    component (the canonical representative).
+
+    A dedup pipeline ends by grouping pairs into clusters and keeping one
+    canonical doc per cluster; pairwise output alone can't do that (a~b,
+    b~c must collapse to one cluster even though a~c was never emitted).
+    Algorithm: min-label propagation — each node takes the min label in
+    its closed neighborhood, iterated to a fixed point. Each iteration is
+    one join + one hash agg (both shuffle-bounded by |edges|);
+    convergence needs at most the component diameter, and near-dup
+    components are shallow. A driver-side checksum (one tiny agg) detects
+    the fixed point; ``max_iter`` bounds pathological chains.
+    """
+    a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    nodes = a.select(F.col("src").alias("node")).unionByName(
+        a.select(F.col("dst").alias("node"))
+    ).distinct()
+    loops = nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    edges = a.unionByName(b).unionByName(loops).distinct().persist()
+
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    prev_sum = None
+    for _ in range(max_iter):
+        new_labels = (
+            edges.join(labels, edges.src == labels.node, "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        chk = new_labels.agg(
+            F.expr("bit_xor(xxhash64(node, label))").alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if chk == prev_sum:
+            break
+        prev_sum = chk
+    edges.unpersist()
+    # truncate the iteration lineage so downstream consumers don't replay
+    # the propagation chain once the intermediate caches are dropped
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

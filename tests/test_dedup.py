@@ -194,3 +194,51 @@ def test_embedding_near_dups_lsh_recall(clustered_vecs):
     }
     assert lsh <= brute  # in-bucket exact cosine ⇒ no false positives
     assert len(lsh) / len(brute) >= 0.9, (len(lsh), len(brute))
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Min-label propagation must match a plain union-find oracle on a
+    random pair graph (chains, triangles, singleton-free)."""
+    from featureengineer_spark.operators.dedup import near_dup_clusters
+
+    rng = np.random.default_rng(17)
+    n_nodes = 120
+    edges = set()
+    # chains force multi-hop propagation; random extras add merges
+    for start in range(0, 60, 12):
+        for i in range(start, start + 11):
+            edges.add((i, i + 1))
+    for _ in range(80):
+        a, b = rng.integers(60, n_nodes, size=2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(edges)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for a, b in edges:
+        for v in (a, b):
+            exp[v] = find(v)
+    # canonicalize oracle roots to min member per component
+    comp = {}
+    for v, r in exp.items():
+        comp.setdefault(r, []).append(v)
+    exp_min = {v: min(comp[r]) for v, r in exp.items()}
+    assert got == exp_min
