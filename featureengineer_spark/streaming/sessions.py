@@ -155,3 +155,43 @@ def stream_running_profile(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_asof_attach(
+    spark: SparkSession,
+    features: "DataFrame",
+    anchors_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    anchor_schema,
+    value_cols=None,
+    available_now: bool = True,
+):
+    """Streaming point-in-time attach: a stream of anchor events gets the
+    latest feature row with ``ts <= anchor_ts`` from a static feature
+    table — the flagship as-of join run per micro-batch via
+    ``foreachBatch`` (stream-static joins can't express the per-anchor
+    windowed backfill directly, but each micro-batch is a bounded
+    DataFrame, so the EXACT batch operator — leakage guarantees included —
+    runs against it; the checkpoint gives exactly-once output on
+    restart). The streaming analog of the reference's trial scoring
+    against a fixed enrollment model (``IVector.py:1324``).
+    """
+    from featureengineer_spark.operators.asof import asof_join
+
+    stream = (
+        spark.readStream.schema(anchor_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(anchors_path)
+    )
+
+    def attach(batch_df, batch_id):
+        out = asof_join(features, batch_df, value_cols=value_cols)
+        out.write.mode("append").parquet(output_path)
+
+    writer = stream.writeStream.foreachBatch(attach).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

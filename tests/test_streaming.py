@@ -125,3 +125,49 @@ def test_stateful_running_profile(spark, transcripts, tmp_path):
         assert (got_tool == exp_tool) or (got_tool is None and exp_tool is None) or (
             pd.isna(got_tool) and pd.isna(exp_tool)
         ), (conv, got_tool, exp_tool)
+
+
+def test_stream_asof_matches_batch(spark, transcripts, tmp_path):
+    """Streaming PIT attach (foreachBatch over anchor micro-batches) must
+    produce exactly the batch as-of join's rows, with zero leakage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators import asof_join
+    from featureengineer_spark.streaming.sessions import stream_asof_attach
+
+    anchors = transcripts.groupBy("conv_id").agg(
+        F.max("ts").alias("anchor_ts")
+    )
+    anchors_dir = str(tmp_path / "anchors")
+    # several files → several micro-batches
+    anchors.repartition(8).write.mode("overwrite").parquet(anchors_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_asof_attach(
+        spark,
+        transcripts,
+        anchors_dir,
+        out_dir,
+        ckpt,
+        anchor_schema="conv_id string, anchor_ts timestamp",
+        value_cols=["turn_idx", "role"],
+    )
+    q.awaitTermination(120)
+
+    key = ["conv_id", "anchor_ts"]
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        asof_join(transcripts, anchors, value_cols=["turn_idx", "role"])
+        .toPandas()
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["matched_ts"] <= got["anchor_ts"]).all()
