@@ -198,13 +198,15 @@ def main() -> None:
             F.sequence(F.lit(1), F.lit(K_MIX * DIM)),
             lambda i: (F.pmod(F.xxhash64(i, F.col("conv_id")), F.lit(2000)) / 500.0 - 2.0),
         ).alias("stat1"),
-    ).repartition(int(cpus) * 2)
+    ).repartition(int(cpus) * 2).persist()
+    stats.count()  # materialize the synthetic stats OUTSIDE the timed region
     lat = extract_latent_factors(stats, tv)
     _noop(lat)
     t0 = time.perf_counter()
     _noop(lat)
     lat_s = time.perf_counter() - t0
     timings["latent_extraction"] = round(lat_s, 4)
+    stats.unpersist()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -69,6 +69,18 @@ class TVModel:
         return self.F_mat.shape[1]
 
 
+def _list_array(mat: np.ndarray):
+    """(n, d) float matrix → Arrow list<double> column without per-row
+    Python objects (vectorized offsets + one flat buffer)."""
+    import pyarrow as pa
+
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(mat.ravel()), type=pa.float64())
+    )
+
+
 def _whiten_np(stat0: np.ndarray, stat1: np.ndarray, ubm: GMM) -> np.ndarray:
     """(n, K·d) centered + variance-normalized first-order stats:
     s̃₁ = (s₁ − N ⊗ μ) / σ  (per component/dim; ``whiten_stat1``)."""
@@ -111,11 +123,7 @@ def whiten_stats(
             s1 = batch.column(2).flatten().to_numpy(zero_copy_only=False).reshape(-1, k * d)
             s1w = _whiten_np(s0, s1, m)
             yield pa.RecordBatch.from_arrays(
-                [
-                    ent,
-                    pa.array(list(s0), type=pa.list_(pa.float64())),
-                    pa.array(list(s1w), type=pa.list_(pa.float64())),
-                ],
+                [ent, _list_array(s0), _list_array(s1w)],
                 names=[entity_col, stat0_col, stat1_col],
             )
 
@@ -283,14 +291,19 @@ def extract_latent_factors(
 
     def kernel(batches):
         f_cur = b.value
+        r = f_cur.shape[1]
+        fk = f_cur.reshape(k, d, r)
+        gram = np.einsum("kdr,kds->krs", fk, fk)
         for batch in batches:
             ent = batch.column(0)
             s0 = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, k)
             s1w = batch.column(2).flatten().to_numpy(zero_copy_only=False).reshape(-1, sv)
-            e_w, _ = _posteriors(s0, s1w, f_cur, k, d)
+            # extraction needs only the posterior MEAN — batched solve,
+            # no explicit inverse (half the flops of the training path)
+            lam = np.eye(r) + np.einsum("nk,krs->nrs", s0, gram)
+            e_w = np.linalg.solve(lam, s1w @ f_cur)
             yield pa.RecordBatch.from_arrays(
-                [ent, pa.array(list(e_w), type=pa.list_(pa.float64()))],
-                names=[entity_col, out_col],
+                [ent, _list_array(e_w)], names=[entity_col, out_col]
             )
 
     return stats.select(entity_col, stat0_col, stat1_col).mapInArrow(
