@@ -31,3 +31,37 @@ from featureengineer_spark.operators.plda import (  # noqa: F401
     fit_wccn,
     train_plda,
 )
+from featureengineer_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_candidates,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from featureengineer_spark.operators.similarity import (  # noqa: F401
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplane_tables,
+)
+from featureengineer_spark.operators.scoring import (  # noqa: F401
+    det_curve,
+    eer,
+    min_dcf,
+    score_trials,
+    score_trials_bilinear,
+    score_trials_plda,
+    score_trials_two_cov,
+)
+from featureengineer_spark.operators.em import (  # noqa: F401
+    GMM,
+    sufficient_stats,
+    train_gmm,
+    train_gmm_split,
+)
+from featureengineer_spark.operators.whitening import (  # noqa: F401
+    apply_sphnorm,
+    apply_whitening,
+    fit_sphnorm,
+    fit_whitener,
+)

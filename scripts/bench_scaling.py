@@ -197,6 +197,12 @@ def orchestrate() -> None:
         "what the N→4N executor criterion describes. The 32-core row shows the",
         "single-box upper bound.",
         "",
+        "## Data-size scaling",
+        "",
+        "See `BENCH/LADDER.md` (`scripts/bench_scale_ladder.py`): the same jobs",
+        "at 1.6M / 14.7M / 55.3M turns — throughput rises with input size, so",
+        "per-turn cost is flat-to-improving (no super-linear term).",
+        "",
         "## Correctness",
         "",
         "Feature vectors match the single-node pandas oracle with numpy.allclose",
