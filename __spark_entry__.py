@@ -582,6 +582,39 @@ def q_latent_factors(spark, sf):
     )
 
 
+def q_media_features(spark, sf):
+    """Multimodal plumbing through the gate: documents' text bytes stand
+    in for opaque media payloads (binary column + typed metadata), the
+    Arrow-batched decode kernel (deterministic stub) emits fixed-dim
+    feature vectors. Stubbed decode values aren't SQL-expressible →
+    rows-only; output is fully deterministic (crc32-keyed stub)."""
+    from featureengineer_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 100 + 1).cast("int").alias("n_frames"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.to_json(F.transform("feature_vec", lambda x: F.round(x, 6))).alias("vec_json"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-duplicate clusters: connected components (min-label
     propagation) over the n-gram Jaccard pair graph — the step that turns
@@ -835,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_drop": q_null_drop,
         "min_dcf": q_min_dcf,
         "crop_tiled": q_crop_tiled,
+        "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
         "trial_scores_maha_diag": q_trial_scores_maha_diag,
         "sphnorm_plda_scores": q_sphnorm_plda_scores,

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,7 +74,8 @@ def fake_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
         chunks = np.array_split(arr.astype(np.float64), MEDIA_FEATURE_DIM - 2)
         out[i, : MEDIA_FEATURE_DIM - 2] = [c.mean() if len(c) else 0.0 for c in chunks]
         out[i, -2] = float(len(arr))
-        out[i, -1] = float(hash(mod) % 997)
+        # stable across processes (builtin hash() is salted per run)
+        out[i, -1] = float(zlib.crc32(mod.encode()) % 997)
     return out
 
 
