@@ -55,6 +55,18 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _best_of(df, reps: int = 2) -> float:
+    """Warm once, then best-of-``reps`` wall time — single runs on this
+    VM vary 2-3x with outside load; min-of-2 is the cheap stabilizer."""
+    _noop(df)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _noop(df)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 BENCH_BUCKETS = 64
 
 
@@ -130,25 +142,17 @@ def main() -> None:
     queries = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        _noop(df)  # warm: parquet footer reads, JIT, broadcast
-        t0 = time.perf_counter()
-        _noop(df)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(_best_of(queries[name](spark, sf_dir)), 4)
 
     # flagship transcript pipeline at bench scale — the bucketed table
     # scan makes the window stack exchange-free (plan-guarded in
     # tests/test_plans.py)
     path, n_turns = ensure_transcripts(spark)
     t = spark.table("fe_bench_transcripts")
-    t0 = time.perf_counter()
-    _noop(feature_pipeline(t))
-    windows_s = time.perf_counter() - t0
+    windows_s = _best_of(feature_pipeline(t))
     timings["transcript_window_stack"] = round(windows_s, 4)
 
-    t0 = time.perf_counter()
-    _noop(featurize_fast(t, clustered=True))
-    feat_s = time.perf_counter() - t0
+    feat_s = _best_of(featurize_fast(t, clustered=True))
     timings["transcript_featurize"] = round(feat_s, 4)
 
     # flagship as-of join: PIT-attach latest turn features to per-conv
@@ -163,10 +167,7 @@ def main() -> None:
     feats = featurize_fast(t, clustered=True).persist()
     feats.count()  # materialize outside the timed region
     aj = asof_join(feats, anchors, value_cols=["turn_idx", "feature_vec"])
-    _noop(aj)
-    t0 = time.perf_counter()
-    _noop(aj)
-    asof_s = time.perf_counter() - t0
+    asof_s = _best_of(aj)
     timings["transcript_asof_join"] = round(asof_s, 4)
     feats.unpersist()
 
@@ -201,10 +202,7 @@ def main() -> None:
     ).repartition(int(cpus) * 2).persist()
     stats.count()  # materialize the synthetic stats OUTSIDE the timed region
     lat = extract_latent_factors(stats, tv)
-    _noop(lat)
-    t0 = time.perf_counter()
-    _noop(lat)
-    lat_s = time.perf_counter() - t0
+    lat_s = _best_of(lat)
     timings["latent_extraction"] = round(lat_s, 4)
     stats.unpersist()
 
