@@ -260,3 +260,115 @@ def rolling_counts_auto(
     return with_rolling_counts(
         df, predicates, window=window, entity_col=entity_col, order_cols=order_cols
     )
+
+
+def salted_bounded_window(
+    df: DataFrame,
+    apply_fn,
+    before: int,
+    after: int = 0,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Generic salted evaluation of ANY bounded per-entity window.
+
+    ``apply_fn(df, window_spec) -> df`` adds its columns over the given
+    spec; here the spec is partitioned by ``(entity, chunk)`` and each
+    chunk is padded with the previous chunk's trailing ``before`` rows
+    AND the next chunk's leading ``after`` rows (replicated carry rows,
+    dropped from the output). Any window function whose frame (or
+    lag/lead offset) stays within ``[-before, +after]`` is computed
+    EXACTLY, with task size bounded by ``chunk_size + before + after``
+    instead of the entity length — the W2/X5 mega-conversation graft
+    generalized from ``salted_rolling_counts``.
+
+    Requires contiguous ``idx_col`` per entity and
+    ``max(before, after) <= chunk_size``.
+    """
+    if max(before, after) > chunk_size:
+        raise ValueError("carry width must be <= chunk_size")
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    pos = F.col(idx_col).cast("long") % chunk_size
+    own = df.withColumn("__chunk", chunk).withColumn("__carry", F.lit(False))
+    parts = [own]
+    if before > 0:
+        parts.append(
+            df.withColumn("__chunk", chunk + 1)
+            .withColumn("__carry", F.lit(True))
+            .filter(pos >= chunk_size - before)
+        )
+    if after > 0:
+        parts.append(
+            df.withColumn("__chunk", chunk - 1)
+            .withColumn("__carry", F.lit(True))
+            .filter(pos < after)
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    w = Window.partitionBy(entity_col, "__chunk").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = apply_fn(unioned, w)
+    return out.filter(~F.col("__carry")).drop("__chunk", "__carry")
+
+
+def salted_lags(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int] = (1,),
+    leads: bool = True,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """``with_lags`` with the mega-entity path — exact equivalent."""
+    m = max(offsets)
+
+    def apply_fn(d, w):
+        for c in cols:
+            for n in offsets:
+                d = d.withColumn(f"lag{n}_{c}", F.lag(c, n).over(w))
+                if leads:
+                    d = d.withColumn(f"lead{n}_{c}", F.lead(c, n).over(w))
+        return d
+
+    return salted_bounded_window(
+        df, apply_fn, before=m, after=m if leads else 0,
+        chunk_size=chunk_size, entity_col=entity_col, idx_col=idx_col,
+        order_cols=order_cols,
+    )
+
+
+def salted_sliding_norm(
+    df: DataFrame,
+    col: str,
+    win: int = 301,
+    center: bool = False,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """``with_sliding_norm`` with the mega-entity path — exact equivalent."""
+    half = (win - 1) // 2
+    frame = (-half, half) if center else (-(win - 1), 0)
+
+    def apply_fn(d, w):
+        ww = w.rowsBetween(*frame)
+        mu = F.avg(col).over(ww)
+        sd = F.stddev_samp(col).over(ww)
+        return d.withColumn(
+            out_col or f"{col}_slidnorm",
+            F.when(sd > 0, (F.col(col) - mu) / sd).otherwise(F.lit(0.0)),
+        )
+
+    return salted_bounded_window(
+        df, apply_fn, before=-frame[0], after=frame[1],
+        chunk_size=chunk_size, entity_col=entity_col, idx_col=idx_col,
+        order_cols=order_cols,
+    )

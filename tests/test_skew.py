@@ -89,3 +89,45 @@ def test_rolling_counts_auto_routes_and_matches(transcripts):
         )
         for c in preds:
             np.testing.assert_array_equal(plain[c].to_numpy(), auto[c].to_numpy())
+
+
+def test_salted_lags_equals_plain(transcripts):
+    from featureengineer_spark.operators import with_lags
+    from featureengineer_spark.operators.skew import salted_lags
+
+    plain = (
+        with_lags(transcripts, ["role"], offsets=(1, 2))
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    salted = (
+        salted_lags(transcripts, ["role"], offsets=(1, 2), chunk_size=64)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    for c in ("lag1_role", "lag2_role", "lead1_role", "lead2_role"):
+        np.testing.assert_array_equal(
+            plain[c].fillna("∅").to_numpy(), salted[c].fillna("∅").to_numpy(), err_msg=c
+        )
+
+
+def test_salted_sliding_norm_equals_plain(transcripts):
+    from featureengineer_spark.operators.windows import with_sliding_norm
+    from featureengineer_spark.operators.skew import salted_sliding_norm
+
+    t = transcripts.withColumn(
+        "val", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    for center in (False, True):
+        plain = (
+            with_sliding_norm(t, "val", win=21, center=center)
+            .toPandas().sort_values(KEY).reset_index(drop=True)
+        )
+        salted = (
+            salted_sliding_norm(t, "val", win=21, center=center, chunk_size=64)
+            .toPandas().sort_values(KEY).reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            plain["val_slidnorm"].to_numpy(),
+            salted["val_slidnorm"].to_numpy(),
+            rtol=1e-9, atol=1e-12,
+            err_msg=f"center={center}",
+        )
