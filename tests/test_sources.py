@@ -80,3 +80,30 @@ def test_regex_csv_header_skipped_per_file(spark, tmp_path):
     assert len(rows) == 6
     assert all(r["id"] is not None for r in rows)
     assert sorted(r["id"] for r in rows) == [1, 2, 11, 12, 21, 22]
+
+
+def test_fixed_width_binary_roundtrip(spark, tmp_path):
+    """Synthesize fixed-width (HTK-layout) binary files, decode through
+    the binaryFile source, and match the original matrices exactly."""
+    import struct
+
+    import numpy as np
+
+    from featureengineer_spark.sources.io import read_fixed_width_frames
+
+    rng = np.random.default_rng(4)
+    expected = {}
+    for i in range(3):
+        n, dim = int(rng.integers(5, 40)), 13
+        mat = rng.standard_normal((n, dim)).astype(">f4")
+        header = struct.pack(">iihh", n, 100000, dim * 4, 6)
+        p = tmp_path / f"f{i}.htk"
+        p.write_bytes(header + mat.tobytes())
+        expected[str(p)] = mat.astype(np.float64)
+
+    out = read_fixed_width_frames(spark, str(tmp_path), "*.htk").toPandas()
+    assert len(out) == sum(m.shape[0] for m in expected.values())
+    for path, mat in expected.items():
+        sub = out[out["path"].str.endswith(path.split("/")[-1])].sort_values("frame_idx")
+        got = np.vstack(sub["frame"].to_numpy())
+        np.testing.assert_allclose(got, mat, rtol=1e-7)
