@@ -793,6 +793,24 @@ def q_simhash_near_dups(spark, sf):
     return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF ANN: distributed k-means inverted lists + n_probe exact
+    re-rank (the scale path alternative to LSH). Iterative k-means →
+    rows-only check; recall vs exact is pinned by tests/test_dedup.py."""
+    from featureengineer_spark.operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_ivf(emb, q, k=5, n_lists=16, n_probe=4, kmeans_iter=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cosine")).alias("cosine")
+    )
+
+
 def q_ann_lsh(spark, sf):
     from featureengineer_spark.operators.similarity import ann_topk_lsh
 
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

@@ -40,9 +40,11 @@ from featureengineer_spark.operators.dedup import (  # noqa: F401
     simhash_near_dups,
 )
 from featureengineer_spark.operators.similarity import (  # noqa: F401
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
     hyperplane_tables,
+    train_kmeans,
 )
 from featureengineer_spark.operators.scoring import (  # noqa: F401
     det_curve,

@@ -94,6 +94,149 @@ def hyperplane_signature(
     return df.withColumn(out_col, acc)
 
 
+def train_kmeans(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> np.ndarray:
+    """Distributed Lloyd k-means → (k, d) centroids.
+
+    Same executor/driver split as ``em.train_gmm``: each Arrow batch
+    emits one partial row (per-centroid count + sum after hard nearest
+    assignment), partials reduce IN-CLUSTER, the driver recomputes
+    centroids and re-broadcasts. Init = deterministic hash-sampled rows.
+    Empty clusters keep their previous centroid (deterministic).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from featureengineer_spark.operators.em import reduce_partials
+
+    sc = df.sparkSession.sparkContext
+    d = len(df.select(vec_col).first()[0])
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    # deterministic init: first k distinct rows by xxhash64 order
+    init_rows = (
+        vecs.withColumn("__h", F.xxhash64(F.to_json(F.col(vec_col)), F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([r[vec_col] for r in init_rows])
+    if centroids.shape[0] < k:
+        raise ValueError(f"need >= {k} rows to seed {k} centroids")
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.ArrayType(T.DoubleType())),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(n_iter):
+        b_c = sc.broadcast(centroids)
+
+        def partials(batches):
+            c = b_c.value
+            cn2 = (c * c).sum(axis=1)
+            for batch in batches:
+                x = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+                assign = np.argmin(cn2 - 2.0 * (x @ c.T), axis=1)
+                n_part = np.bincount(assign, minlength=k).astype(np.float64)
+                s_part = np.zeros((k, d))
+                np.add.at(s_part, assign, x)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([n_part.tolist()], type=pa.list_(pa.float64())),
+                        pa.array([s_part.ravel().tolist()], type=pa.list_(pa.float64())),
+                    ],
+                    names=["n", "s"],
+                )
+
+        parts = reduce_partials(
+            vecs.mapInArrow(partials, schema=schema), {"n": k, "s": k * d}
+        )
+        n = parts["n"]
+        s = parts["s"].reshape(k, d)
+        nonempty = n > 0
+        new_c = centroids.copy()
+        new_c[nonempty] = s[nonempty] / n[nonempty, None]
+        centroids = new_c
+    return centroids
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 0,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; each query exactly scans only
+    its ``n_probe`` nearest lists. The candidate join is an equi join on
+    ``list_id`` — expected cost |Q|·|C|·(n_probe/n_lists) — and the final
+    ranking is exact cosine within the probed lists. The alternative
+    scale path to ``ann_topk_lsh`` (recall degrades gracefully with
+    ``n_probe`` instead of with hash width)."""
+    if centroids is None:
+        centroids = train_kmeans(
+            corpus.select(F.col(vec_col)), k=n_lists, n_iter=kmeans_iter,
+            vec_col=vec_col, seed=seed,
+        )
+    sc = corpus.sparkSession.sparkContext
+    b_c = sc.broadcast(centroids)
+
+    def _assign_udf(n_top: int):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def fn(v):
+            c = b_c.value
+            x = np.vstack(v.to_numpy())
+            d2 = (c * c).sum(axis=1) - 2.0 * (x @ c.T)
+            idx = np.argsort(d2, axis=1)[:, :n_top]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return F.pandas_udf(fn, T.ArrayType(T.IntegerType()))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        F.explode(_assign_udf(1)(F.col(vec_col))).alias("list_id"),
+        _norm(vec_col).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
+        _norm(vec_col).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
+    pairs = c.join(F.broadcast(q), on="list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        query_id_col,
+        "neighbor_id",
+        (_dot(vec_col, "__qv") / (F.col("__cn") * F.col("__qn"))).alias("cosine"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )
+
+
 def hyperplane_tables(
     df: DataFrame,
     dim: int,

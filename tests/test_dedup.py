@@ -242,3 +242,67 @@ def test_near_dup_clusters_matches_union_find(spark):
         comp.setdefault(r, []).append(v)
     exp_min = {v: min(comp[r]) for v, r in exp.items()}
     assert got == exp_min
+
+
+def test_minhash_estimates_jaccard(docs):
+    """est_jaccard from minhash signature agreement must track the true
+    n-gram Jaccard within estimator noise (64 permutations → ±~0.15)."""
+    from featureengineer_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    true = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_shingle_df=None
+        ).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle=3).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        t = true.get(pair, 0.0)
+        if t >= 0.5:  # near-dup family pairs — the regime LSH targets
+            assert abs(e - t) < 0.2, (pair, e, t)
+            checked += 1
+    assert checked >= 20  # all 8 families × C(5,2)/... enough coverage
+
+
+def test_ann_ivf_recall(clustered_vecs):
+    """IVF (k-means inverted lists, n_probe exact re-rank) must recall
+    ≥0.9 of the exact top-k on the clustered fixture."""
+    from featureengineer_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    queries = clustered_vecs.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(clustered_vecs, queries, k=5)
+    approx = ann_topk_ivf(
+        clustered_vecs, queries, k=5, n_lists=12, n_probe=4, kmeans_iter=5
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_kmeans_converges(clustered_vecs):
+    """Distributed Lloyd iterations must reduce the quantization error
+    and produce k distinct centroids."""
+    import numpy as np
+
+    from featureengineer_spark.operators.similarity import train_kmeans
+
+    x = np.array([r["embedding"] for r in clustered_vecs.collect()])
+
+    def qerr(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).mean()
+
+    c1 = train_kmeans(clustered_vecs, k=12, n_iter=1)
+    c5 = train_kmeans(clustered_vecs, k=12, n_iter=6)
+    assert qerr(c5) <= qerr(c1) + 1e-12
+    assert len(np.unique(np.round(c5, 6), axis=0)) == 12
