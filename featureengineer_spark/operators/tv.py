@@ -278,9 +278,7 @@ def extract_latent_factors(
     ubm = tv.ubm
     k, d = ubm.means.shape
     sv = k * d
-    if not whitened:
-        stats = whiten_stats(stats, ubm, entity_col, stat0_col, stat1_col)
-    b = sc.broadcast(tv.F_mat)
+    b = sc.broadcast((tv.F_mat, ubm.weights, ubm.means, ubm.variances, whitened))
 
     out_schema = T.StructType(
         [
@@ -290,14 +288,18 @@ def extract_latent_factors(
     )
 
     def kernel(batches):
-        f_cur = b.value
+        f_cur, w0, mu0, var0, pre_whitened = b.value
+        m = GMM(w0, mu0, var0)
         r = f_cur.shape[1]
         fk = f_cur.reshape(k, d, r)
         gram = np.einsum("kdr,kds->krs", fk, fk)
         for batch in batches:
             ent = batch.column(0)
             s0 = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, k)
-            s1w = batch.column(2).flatten().to_numpy(zero_copy_only=False).reshape(-1, sv)
+            s1 = batch.column(2).flatten().to_numpy(zero_copy_only=False).reshape(-1, sv)
+            # whitening is FUSED into this kernel (one Arrow boundary,
+            # not two — the stats never re-serialize between steps)
+            s1w = s1 if pre_whitened else _whiten_np(s0, s1, m)
             # extraction needs only the posterior MEAN — batched solve,
             # no explicit inverse (half the flops of the training path)
             lam = np.eye(r) + np.einsum("nk,krs->nrs", s0, gram)
