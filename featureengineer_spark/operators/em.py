@@ -237,20 +237,30 @@ def sufficient_stats(
     ``stat1[k*d]`` = Σ responsibility-weighted features (the reference's
     per-segment sufficient statistics, ``IVector.py:810-815``).
 
-    Responsibilities come from an Arrow kernel (broadcast model); the
-    per-entity reduction is a plain hash aggregation over k + k·d sum
-    columns — partial+final, shuffle bounded by |entities|.
+    Responsibilities come from an Arrow kernel (broadcast model), and the
+    kernel PRE-AGGREGATES per entity within each batch (dictionary-encode
+    the entity column, stable-sort + ``np.add.reduceat``), so the Arrow
+    boundary and the shuffle carry one (k + k·d)-double row per
+    (entity, batch), never per input row — at the reference's production
+    shape (k=2048, d=39) a per-row emission would be ~650 KB/row. The
+    final per-entity reduction is a plain hash aggregation (partial+final,
+    shuffle bounded by |entities|); on the bucketed layout each entity
+    appears in one batch stream, so partials are already near-final.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     sc = df.sparkSession.sparkContext
     k, d = model.means.shape
     b_model = sc.broadcast((model.weights, model.means, model.variances))
 
+    ent_type = df.schema[entity_col].dataType
     out_schema = T.StructType(
-        [T.StructField(entity_col, df.schema[entity_col].dataType)]
-        + [T.StructField(f"g{i}", T.DoubleType()) for i in range(k)]
-        + [T.StructField(f"gx{i}_{j}", T.DoubleType()) for i in range(k) for j in range(d)]
+        [
+            T.StructField(entity_col, ent_type),
+            T.StructField("stat0", T.ArrayType(T.DoubleType())),
+            T.StructField("stat1", T.ArrayType(T.DoubleType())),
+        ]
     )
 
     def kernel(batches):
@@ -260,22 +270,34 @@ def sufficient_stats(
             ent = batch.column(0)
             x = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
             gamma, _ = _responsibilities(x, m)
-            arrays = [ent]
-            for i in range(k):
-                arrays.append(pa.array(np.ascontiguousarray(gamma[:, i])))
-            gx = gamma[:, :, None] * x[:, None, :]  # (n, k, d)
-            for i in range(k):
-                for j in range(d):
-                    arrays.append(pa.array(np.ascontiguousarray(gx[:, i, j])))
-            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema.fields])
+            enc = pc.dictionary_encode(ent)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            uniq = enc.dictionary
+            order = np.argsort(codes, kind="stable")
+            starts = np.flatnonzero(
+                np.diff(codes[order], prepend=codes[order[0]] - 1 if len(order) else 0)
+            )
+            s0 = np.add.reduceat(gamma[order], starts, axis=0)  # (g, k)
+            gx = (gamma[:, :, None] * x[:, None, :]).reshape(len(x), k * d)
+            s1 = np.add.reduceat(gx[order], starts, axis=0)  # (g, k·d)
+            from featureengineer_spark.operators.tv import _list_array
 
-    per_row = df.select(entity_col, vec_col).mapInArrow(kernel, schema=out_schema)
-    agg = per_row.groupBy(entity_col).agg(
-        *[F.sum(f"g{i}").alias(f"s0_{i}") for i in range(k)],
-        *[F.sum(f"gx{i}_{j}").alias(f"s1_{i}_{j}") for i in range(k) for j in range(d)],
-    )
-    return agg.select(
-        entity_col,
-        F.array(*[F.col(f"s0_{i}") for i in range(k)]).alias("stat0"),
-        F.array(*[F.col(f"s1_{i}_{j}") for i in range(k) for j in range(d)]).alias("stat1"),
-    )
+            yield pa.RecordBatch.from_arrays(
+                [uniq.take(pa.array(codes[order][starts])), _list_array(s0), _list_array(s1)],
+                names=[entity_col, "stat0", "stat1"],
+            )
+
+    partial = df.select(entity_col, vec_col).mapInArrow(kernel, schema=out_schema)
+    # final reduce: fold the (few) per-batch partial arrays of each entity
+    # with element-wise zip_with sums — shuffle bounded by
+    # |entities| × #batches-per-entity (1 on the bucketed layout)
+    def _fold(col_name: str, width: int):
+        return F.aggregate(
+            F.collect_list(col_name),
+            F.array_repeat(F.lit(0.0), width),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias(col_name)
+
+    return partial.groupBy(entity_col).agg(_fold("stat0", k), _fold("stat1", k * d))
