@@ -372,3 +372,90 @@ def salted_sliding_norm(
         chunk_size=chunk_size, entity_col=entity_col, idx_col=idx_col,
         order_cols=order_cols,
     )
+
+
+def salted_ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float = 0.2,
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """First-order IIR (EWMA, adjust=False) with the mega-entity path —
+    the last sequential-scan operator to get a salted twin (W5/W2).
+
+    The recurrence y_p = (1−α)y_{p−1} + α·x_p decomposes exactly:
+
+    1. per (entity, chunk) grouped map (task size ≤ chunk_size): the
+       zero-carry partial L_p = α·Σ_j (1−α)^{p−j} x_j, plus the chunk's
+       (last L, length);
+    2. per entity over the #chunks-row summary frame: the carry
+       recurrence y_last_c = L_last_c + (1−α)^{m_c}·carry_c with
+       carry_1 = first x of the entity (pandas ewm's y_0 = x_0 seed);
+    3. join carries back: y_p = L_p + (1−α)^p·carry_chunk — exact.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    name = out_col or f"{col}_ewma"
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    base = df.withColumn("__chunk", chunk)
+    sort_cols = list(order_cols)
+
+    local_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("__chunk", T.LongType(), False),
+            T.StructField("__local", T.DoubleType(), True),
+            T.StructField("__pos", T.IntegerType(), False),
+        ]
+    )
+
+    def local_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        # virtual leading zero makes ewm compute the ZERO-carry partial
+        seeded = pd.concat([pd.Series([0.0]), pdf[col].astype("float64")], ignore_index=True)
+        pdf["__local"] = (
+            seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+        )
+        pdf["__pos"] = range(1, len(pdf) + 1)
+        return pdf
+
+    local = base.groupBy(entity_col, "__chunk").applyInPandas(local_fn, schema=local_schema)
+
+    summaries = local.groupBy(entity_col, "__chunk").agg(
+        F.max(F.struct("__pos", "__local"))["__local"].alias("__last_l"),
+        F.count("*").alias("__m"),
+        F.min(F.struct(*[F.col(c) for c in sort_cols], F.col(col).cast("double").alias("v")))[
+            "v"
+        ].alias("__first_x"),
+    )
+
+    carry_schema = T.StructType(
+        [
+            T.StructField(entity_col, df.schema[entity_col].dataType),
+            T.StructField("__chunk", T.LongType(), False),
+            T.StructField("__carry", T.DoubleType(), True),
+        ]
+    )
+
+    def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__chunk").reset_index(drop=True)
+        carries = []
+        carry = float(pdf["__first_x"].iloc[0])  # pandas ewm seed y_0 = x_0
+        for _, row in pdf.iterrows():
+            carries.append(carry)
+            carry = float(row["__last_l"]) + (1.0 - alpha) ** int(row["__m"]) * carry
+        pdf["__carry"] = carries
+        return pdf[[entity_col, "__chunk", "__carry"]]
+
+    carries = summaries.groupBy(entity_col).applyInPandas(carry_fn, schema=carry_schema)
+
+    joined = local.join(carries, on=[entity_col, "__chunk"], how="inner")
+    decay = F.pow(F.lit(1.0 - alpha), F.col("__pos").cast("double"))
+    return joined.withColumn(name, F.col("__local") + decay * F.col("__carry")).drop(
+        "__chunk", "__local", "__pos", "__carry"
+    )

@@ -131,3 +131,24 @@ def test_salted_sliding_norm_equals_plain(transcripts):
             rtol=1e-9, atol=1e-12,
             err_msg=f"center={center}",
         )
+
+
+def test_salted_ewma_equals_plain(transcripts):
+    from featureengineer_spark.operators.skew import salted_ewma
+    from featureengineer_spark.operators.windows import with_ewma
+
+    t = transcripts.withColumn(
+        "val", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    plain = (
+        with_ewma(t, "val", alpha=0.3)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    salted = (
+        salted_ewma(t, "val", alpha=0.3, chunk_size=64)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        plain["val_ewma"].to_numpy(), salted["val_ewma"].to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )
