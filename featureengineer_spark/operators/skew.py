@@ -30,13 +30,38 @@ from pyspark.sql.window import Window
 
 
 def detect_heavy_keys(
-    df: DataFrame, key: str = "conv_id", threshold: int = 100_000
+    df: DataFrame,
+    key: str = "conv_id",
+    threshold: int = 100_000,
+    sample_denominator: int | None = None,
+    seed: int = 97,
 ) -> DataFrame:
     """Entities whose row count exceeds ``threshold`` (heavy hitters).
 
-    One partial+final count agg — cheap at any scale. Callers route heavy
-    keys to the salted path and the rest to plain windows.
+    Exact form: one partial+final count agg. With ``sample_denominator``
+    = D, the probe counts only the deterministic 1/D hash-sample of rows
+    (``xxhash64(row) % D == 0``) and scales the threshold — at 10¹²
+    rows the exact probe is itself a full-size aggregation, while a
+    heavy key (≥ threshold rows) appears ≥ threshold/D times in the
+    sample with relative error ~1/√(threshold/D); D = threshold/10⁴
+    keeps the error under ~1%. Sampling by row hash (not by key) so
+    every key is observable. Callers route heavy keys to the salted path
+    and the rest to plain windows; the router only needs the yes/no set,
+    which is robust to the sampling noise by construction (borderline
+    keys are fine on either path — results are exactly equal).
     """
+    if sample_denominator and sample_denominator > 1:
+        cols = [F.col(c) for c in df.columns]
+        sampled = df.filter(
+            F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(sample_denominator)) == 0
+        )
+        scaled = max(threshold // sample_denominator, 1)
+        return (
+            sampled.groupBy(key)
+            .count()
+            .filter(F.col("count") > scaled)
+            .select(key, (F.col("count") * sample_denominator).alias("count"))
+        )
     return df.groupBy(key).count().filter(F.col("count") > threshold)
 
 

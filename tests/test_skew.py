@@ -152,3 +152,23 @@ def test_salted_ewma_equals_plain(transcripts):
         plain["val_ewma"].to_numpy(), salted["val_ewma"].to_numpy(),
         rtol=1e-9, atol=1e-12,
     )
+
+
+def test_detect_heavy_keys_sampled(transcripts):
+    """The 1/D hash-sampled probe must still flag the mega conversation
+    (and no tiny ones) at a fraction of the probe cost."""
+    exact = {
+        r["conv_id"]
+        for r in detect_heavy_keys(transcripts, threshold=500).collect()
+    }
+    sampled = {
+        r["conv_id"]
+        for r in detect_heavy_keys(
+            transcripts, threshold=500, sample_denominator=8
+        ).collect()
+    }
+    assert "conv_0" in sampled  # the 600-turn mega conv survives sampling
+    # sampled set stays within the exact heavy set plus near-threshold noise
+    counts = {r["conv_id"]: r["count"] for r in transcripts.groupBy("conv_id").count().collect()}
+    for c in sampled:
+        assert counts[c] > 500 / 4, (c, counts[c])
