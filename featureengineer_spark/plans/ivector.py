@@ -123,6 +123,38 @@ class IVectorPipeline:
         with np.load(os.path.join(self.root, stage, "model.npz")) as z:
             return {k: z[k] for k in z.files}
 
+    def validate(self) -> dict[str, dict]:
+        """Audit every committed stage against its manifest — parquet
+        stages by per-file row counts, model stages by npz presence and
+        array sizes (the reference's expected-vs-produced completeness
+        diff, ``FeaGet.py:116-131``)."""
+        report: dict[str, dict] = {}
+        for stage in ("features", "ubm", "stats", "tv", "latent"):
+            m = read_manifest(self.root, stage)
+            if m is None:
+                report[stage] = {"status": "missing"}
+                continue
+            if m.schema.startswith("model.npz:"):
+                path = os.path.join(self.root, stage, "model.npz")
+                if not os.path.exists(path):
+                    report[stage] = {"status": "corrupt", "reason": "npz missing"}
+                    continue
+                with np.load(path) as z:
+                    sizes = {k: int(z[k].size) for k in z.files}
+                ok = sizes == m.partition_rows
+                report[stage] = {"status": "ok" if ok else "corrupt", "arrays": sizes}
+            else:
+                actual = _partition_counts(
+                    self.spark, os.path.join(self.root, stage, "data")
+                )
+                ok = actual == m.partition_rows
+                report[stage] = {
+                    "status": "ok" if ok else "corrupt",
+                    "expected_rows": m.total_rows,
+                    "actual_rows": sum(actual.values()),
+                }
+        return report
+
     # -- the 5 stages ----------------------------------------------------------
 
     def run(self, transcripts: DataFrame) -> DataFrame:

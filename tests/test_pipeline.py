@@ -141,3 +141,7 @@ def test_ivector_pipeline_end_to_end_and_resume(spark, tmp_path):
     pipe3 = IVectorPipeline(spark, root, cfg3)
     pipe3.run(t)
     assert pipe3.executed == ["tv", "latent"]
+
+    # manifest audit: all five stages committed and consistent
+    report = pipe3.validate()
+    assert all(v["status"] == "ok" for v in report.values()), report
