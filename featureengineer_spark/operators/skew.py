@@ -484,3 +484,28 @@ def salted_ewma(
     return joined.withColumn(name, F.col("__local") + decay * F.col("__carry")).drop(
         "__chunk", "__local", "__pos", "__carry"
     )
+
+
+def salted_group_norm(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """Per-entity standardization via aggregate + join-back — the
+    mega-entity form of ``with_group_norm`` (A3). The unordered entity
+    window puts every row of an entity in ONE task; this form computes
+    the per-entity moments with a partial+final hash agg (map-side
+    combined) and joins them back, so both sides distribute over all
+    partitions regardless of entity size. Exactly equal results."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"__mu_{c}"))
+        aggs.append(F.stddev_samp(c).alias(f"__sd_{c}"))
+    moments = df.groupBy(entity_col).agg(*aggs)
+    out = df.join(moments, on=entity_col, how="inner")
+    for c in cols:
+        mu, sd = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
+        out = out.withColumn(
+            f"{c}_cmvn", F.when(sd > 0, (F.col(c) - mu) / sd).otherwise(F.lit(0.0))
+        )
+    return out.drop(*[f"__{p}_{c}" for c in cols for p in ("mu", "sd")])

@@ -187,7 +187,19 @@ def stream_asof_attach(
 
     def attach(batch_df, batch_id):
         out = asof_join(features, batch_df, value_cols=value_cols)
-        out.write.mode("append").parquet(output_path)
+        # idempotent per-batch commit: a restart replays the in-flight
+        # micro-batch, so a plain append would duplicate it — overwriting
+        # the batch's own partition makes the replay a no-op rewrite
+        # (exactly-once output together with the checkpointed offsets)
+        from pyspark.sql import functions as F
+
+        (
+            out.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(output_path)
+        )
 
     writer = stream.writeStream.foreachBatch(attach).option(
         "checkpointLocation", checkpoint_path

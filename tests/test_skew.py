@@ -172,3 +172,24 @@ def test_detect_heavy_keys_sampled(transcripts):
     counts = {r["conv_id"]: r["count"] for r in transcripts.groupBy("conv_id").count().collect()}
     for c in sampled:
         assert counts[c] > 500 / 4, (c, counts[c])
+
+
+def test_salted_group_norm_equals_plain(transcripts):
+    from featureengineer_spark.operators import with_group_norm
+    from featureengineer_spark.operators.skew import salted_group_norm
+
+    t = transcripts.withColumn(
+        "val", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    plain = (
+        with_group_norm(t, ["val"])
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    salted = (
+        salted_group_norm(t, ["val"])
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        plain["val_cmvn"].to_numpy(), salted["val_cmvn"].to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )

@@ -171,3 +171,27 @@ def test_stream_asof_matches_batch(spark, transcripts, tmp_path):
     )
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     assert (got["matched_ts"] <= got["anchor_ts"]).all()
+
+
+def test_stream_asof_restart_no_duplicates(spark, transcripts, tmp_path):
+    """Re-running the streaming PIT attach against the same checkpoint
+    must not duplicate output (idempotent per-batch partitions)."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_asof_attach
+
+    anchors = transcripts.groupBy("conv_id").agg(F.max("ts").alias("anchor_ts"))
+    anchors_dir = str(tmp_path / "anchors")
+    anchors.repartition(4).write.mode("overwrite").parquet(anchors_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        anchor_schema="conv_id string, anchor_ts timestamp",
+        value_cols=["turn_idx"],
+    )
+    stream_asof_attach(spark, transcripts, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    stream_asof_attach(spark, transcripts, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == anchors.count()
+    assert n2 == n1  # restart produced nothing new
