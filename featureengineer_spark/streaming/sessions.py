@@ -207,3 +207,34 @@ def stream_asof_attach(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sliding_activity(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window per-entity activity over a streaming feed — the
+    streaming form of W1's sliding frames (``F.window`` with slide +
+    watermark for late data). Append-mode safe: a window emits once its
+    end passes the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(entity_col, F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "assistant_turns"
+            ),
+        )
+        .select(
+            entity_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_turns",
+            "assistant_turns",
+        )
+    )
