@@ -325,6 +325,7 @@ def near_dup_clusters(
 
     labels = nodes.select("node", F.col("node").alias("label")).persist()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         new_labels = (
             edges.join(labels, edges.src == labels.node, "inner")
@@ -338,8 +339,18 @@ def near_dup_clusters(
         labels.unpersist()
         labels = new_labels
         if chk == prev_sum:
+            converged = True
             break
         prev_sum = chk
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters: no fixed point within max_iter={max_iter} "
+            "iterations — components deeper than max_iter hops may carry "
+            "non-minimal labels; raise max_iter",
+            stacklevel=2,
+        )
     edges.unpersist()
     # truncate the iteration lineage so downstream consumers don't replay
     # the propagation chain once the intermediate caches are dropped

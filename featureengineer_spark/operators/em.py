@@ -78,11 +78,13 @@ def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np
     for name, sz in sizes.items():
         cols.append(F.array(F.col(name)) if sz is None else F.col(name))
     exploded = df.select(F.posexplode(F.concat(*cols)).alias("pos", "v"))
-    summed = exploded.groupBy("pos").agg(F.sum("v").alias("s")).collect()
+    # Arrow-path gather: at the reference's production TV shape the
+    # reduced statistics are ~10⁸ doubles — driver-side Row objects would
+    # dominate; toPandas() moves one Arrow table instead.
+    pdf = exploded.groupBy("pos").agg(F.sum("v").alias("s")).toPandas()
     total = sum(1 if sz is None else sz for sz in sizes.values())
     flat = np.zeros(total)
-    for r in summed:
-        flat[r["pos"]] = r["s"]
+    flat[pdf["pos"].to_numpy()] = pdf["s"].to_numpy()
     out: dict[str, np.ndarray] = {}
     off = 0
     for name, sz in sizes.items():
