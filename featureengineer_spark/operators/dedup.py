@@ -308,12 +308,15 @@ def near_dup_clusters(
     A dedup pipeline ends by grouping pairs into clusters and keeping one
     canonical doc per cluster; pairwise output alone can't do that (a~b,
     b~c must collapse to one cluster even though a~c was never emitted).
-    Algorithm: min-label propagation — each node takes the min label in
-    its closed neighborhood, iterated to a fixed point. Each iteration is
-    one join + one hash agg (both shuffle-bounded by |edges|);
-    convergence needs at most the component diameter, and near-dup
-    components are shallow. A driver-side checksum (one tiny agg) detects
-    the fixed point; ``max_iter`` bounds pathological chains.
+    Algorithm: min-label propagation with POINTER DOUBLING — each round,
+    every node takes the min label over its closed neighborhood AND the
+    label of its current label (l(v) ← min(l(v), min_N l(u), l(l(v)))).
+    The doubling step halves the remaining distance to the component
+    minimum each round, so convergence is O(log diameter) rounds (a 10⁶-
+    node chain converges in ~20) instead of O(diameter). Each round is
+    two hash joins + one agg, all shuffle-bounded by |edges| + |nodes|.
+    A driver-side checksum (one tiny agg) detects the fixed point;
+    ``max_iter`` bounds the loop.
     """
     a = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     b = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -327,11 +330,28 @@ def near_dup_clusters(
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        new_labels = (
+        neigh = (
             edges.join(labels, edges.src == labels.node, "inner")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        # pointer doubling: follow the label one hop (labels only ever
+        # shrink, so l(l(v)) <= l(v) — least() is just defensive)
+        lab2 = labels.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        # localCheckpoint truncates the lineage: the doubling self-join
+        # would otherwise double the logical plan every round (2^iter
+        # analysis blow-up)
+        new_labels = (
+            neigh.join(lab2, neigh.label == F.col("__ln"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
         chk = new_labels.agg(
             F.expr("bit_xor(xxhash64(node, label))").alias("s")

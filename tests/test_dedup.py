@@ -306,3 +306,21 @@ def test_kmeans_converges(clustered_vecs):
     c5 = train_kmeans(clustered_vecs, k=12, n_iter=6)
     assert qerr(c5) <= qerr(c1) + 1e-12
     assert len(np.unique(np.round(c5, 6), axis=0)) == 12
+
+
+def test_near_dup_clusters_long_chain_doubling(spark):
+    """Pointer doubling must collapse a 200-node chain well within
+    max_iter=12 (plain propagation would need 200 rounds) — and with no
+    non-convergence warning."""
+    import warnings as _w
+
+    from featureengineer_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs, max_iter=12).collect()}
+    assert len(got) == 201
+    assert set(got.values()) == {0}
