@@ -143,3 +143,55 @@ def sample_frames(
             F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     ).filter(F.col("modality") == "video")
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    resize_fn: Callable | None = None,
+) -> DataFrame:
+    """Resize plumbing for image rows: Arrow-batched ``mapInPandas``
+    preserving the media schema with updated (width, height) metadata.
+
+    The pixel-level resample itself is the STUBBED step (no codec in
+    this container): the default ``resize_fn`` deterministically
+    subsamples payload bytes to a size proportional to the target area —
+    the Spark-side contract (schema, batching, metadata rewrite) is real;
+    swap in a PIL/av-backed ``resize_fn`` with the same signature to get
+    true resampling.
+    """
+
+    def _fake_resize(buf: bytes, w0, h0) -> bytes:
+        if buf is None:
+            return None
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        src_area = max((w0 or 1) * (h0 or 1), 1)
+        keep = max(int(len(arr) * min(target_width * target_height / src_area, 1.0)), 1)
+        stride = max(len(arr) // keep, 1)
+        return arr[::stride][:keep].tobytes()
+
+    fn_resize = resize_fn or _fake_resize
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            is_img = pdf["modality"].to_numpy() == "image"
+            metas = []
+            contents = []
+            for img, content, meta in zip(is_img, pdf["content"], pdf["meta"]):
+                if not img:
+                    contents.append(content)
+                    metas.append(meta)
+                    continue
+                m = dict(meta) if meta is not None else {}
+                contents.append(fn_resize(content, m.get("width"), m.get("height")))
+                m["width"], m["height"] = target_width, target_height
+                metas.append(m)
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(fn, schema=MEDIA_SCHEMA)

@@ -3,3 +3,7 @@ from featureengineer_spark.plans.pipeline import (  # noqa: F401
     StageManifest,
     read_manifest,
 )
+from featureengineer_spark.plans.ivector import (  # noqa: F401
+    IVectorConfig,
+    IVectorPipeline,
+)

@@ -59,3 +59,20 @@ def test_sample_frames_grid(spark, media):
     assert set(frames["modality"]) == {"video"}
     assert len(frames) == vids * 10  # 100 frames sampled every 10
     assert frames.groupby("media_id")["frame_idx"].max().eq(90).all()
+
+
+def test_resize_media_updates_meta_and_shrinks(spark):
+    from featureengineer_spark.operators.multimodal import MEDIA_SCHEMA, resize_media
+
+    rows = [
+        (1, "image", bytes(range(256)) * 40, (64, 64, None, None, "image/raw")),
+        (2, "audio", b"\x01\x02" * 100, (None, None, 16000, None, "audio/raw")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_media(df, 32, 32).collect()}
+    img = out[1]
+    assert img["meta"]["width"] == 32 and img["meta"]["height"] == 32
+    assert len(img["content"]) < 256 * 40  # subsampled payload
+    aud = out[2]
+    assert aud["meta"]["sample_rate"] == 16000  # non-image untouched
+    assert bytes(aud["content"]) == b"\x01\x02" * 100
