@@ -124,6 +124,15 @@ def q_group_norm(spark, sf):
     return df.select("user_id", "event_id", _r(F.col("value_cmvn")).alias("value_cmvn"))
 
 
+def q_group_norm_scaled(spark, sf):
+    """The mega-entity form of per-group CMVN (agg + join back, A3) —
+    same oracle as group_norm, proving the scale path value-equivalent."""
+    from featureengineer_spark.operators.skew import salted_group_norm
+
+    df = salted_group_norm(_t(spark, sf, "events"), ["value"], entity_col="user_id")
+    return df.select("user_id", "event_id", _r(F.col("value_cmvn")).alias("value_cmvn"))
+
+
 def q_asof_purchase_click(spark, sf):
     ev = _t(spark, sf, "events")
     anchors = ev.filter(F.col("event_type") == "purchase").select(
@@ -850,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta": q_delta,
         "sliding_norm": q_sliding_norm,
         "group_norm": q_group_norm,
+        "group_norm_scaled": q_group_norm_scaled,
         "asof_purchase_click": q_asof_purchase_click,
         "topk_events": q_topk_events,
         "pricing_summary": q_pricing_summary,
@@ -979,6 +989,14 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS ({_W} ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
         """,
         "group_norm": """
+            SELECT user_id, event_id,
+                   round(CASE WHEN stddev_samp(value) OVER w > 0
+                         THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                         ELSE 0.0 END, 6) AS value_cmvn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "group_norm_scaled": """
             SELECT user_id, event_id,
                    round(CASE WHEN stddev_samp(value) OVER w > 0
                          THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
