@@ -387,7 +387,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int | None = 8,
-    n_tables: int = 6,
+    n_tables: int = 12,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
@@ -395,9 +395,17 @@ def embedding_near_dups(
     Default path is LSH-bucketed: vectors are hashed into ``n_tables``
     OR'd random-hyperplane tables (``similarity.hyperplane_tables``), the
     self-join runs on (table, bucket) — never n² — and exact cosine is
-    verified within buckets. At cosine 0.95 a (8-plane, 6-table) scheme
-    collides with probability ≈ 1−(1−0.9⁸)⁶ ≈ 0.97 per near-dup pair.
-    ``n_planes=None`` selects the exact brute-force cartesian (test /
+    verified within buckets (no false positives; the approximation is
+    recall-only).
+
+    BEHAVIOR CHANGE vs the first release: the default used to be the
+    exact brute-force cartesian; it is now approximate. The default table
+    count is sized so the miss rate is negligible: at cosine 0.95 a
+    single 8-plane table collides with probability (1−acos(0.95)/π)⁸ ≈
+    0.43, so 12 OR'd tables give per-pair recall ≈ 1−0.57¹² ≈ 0.9987.
+    Pairs closer to the threshold from above are missed slightly more
+    often; raise ``n_tables`` (linear candidate cost) to tighten.
+    ``n_planes=None`` restores the exact brute-force cartesian (test /
     small-corpus baseline only — quadratic).
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -76,12 +76,35 @@ def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np
     """
     cols = []
     for name, sz in sizes.items():
-        cols.append(F.array(F.col(name)) if sz is None else F.col(name))
+        if sz is None:
+            cols.append(F.array(F.col(name)))
+        else:
+            # a short/long partial array would silently shift every
+            # posexplode position and corrupt ALL reduced statistics —
+            # fail loudly in the executor instead
+            cols.append(
+                F.when(F.size(F.col(name)) == int(sz), F.col(name)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"reduce_partials: partial '{name}' must have "
+                                f"length {sz}, got "
+                            ),
+                            F.size(F.col(name)).cast("string"),
+                        )
+                    )
+                )
+            )
     exploded = df.select(F.posexplode(F.concat(*cols)).alias("pos", "v"))
     # Arrow-path gather: at the reference's production TV shape the
     # reduced statistics are ~10⁸ doubles — driver-side Row objects would
     # dominate; toPandas() moves one Arrow table instead.
     pdf = exploded.groupBy("pos").agg(F.sum("v").alias("s")).toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "reduce_partials: no partial rows to reduce (empty input frame) — "
+            "downstream statistics would be all-zero"
+        )
     total = sum(1 if sz is None else sz for sz in sizes.values())
     flat = np.zeros(total)
     flat[pdf["pos"].to_numpy()] = pdf["s"].to_numpy()

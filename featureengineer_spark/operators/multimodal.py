@@ -2,12 +2,20 @@
 
 Image/audio/video content rides as a ``binary`` column with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` kernels. The decode step itself is STUBBED
-(no image/audio libraries in this environment): ``fake_decode_features``
-is a deterministic stand-in keyed on the payload bytes, and
+Arrow-batched kernels. The decode step itself is STUBBED (no image/audio
+libraries in this environment): ``fake_decode_features`` is a
+deterministic stand-in keyed on the payload bytes, and
 ``real_decode_features`` raises ``NotImplementedError`` behind an
 import-try — the Spark-side plumbing (schema, partitioning, UDF
 signature, batch shape) is real and tested.
+
+All default kernels are fully vectorized: the stub decode reads the
+Arrow binary buffers directly (offsets + data) and computes per-chunk
+byte means with a single ``np.add.reduceat`` over the concatenated
+payload buffer — zero per-row Python. A custom codec plugged in via
+``decode_fn`` / ``resize_fn`` is inherently per-item (that loop lives in
+the codec, as it would with PIL/av), but the Spark plumbing around it is
+unchanged.
 
 This is the engine's generalization of the reference's audio scan →
 MFCC front end (``FeaGet.py:171-285``): opaque per-item payload → fixed
@@ -18,10 +26,10 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
-import zlib
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,25 +66,98 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+# SQL-expressible modality code (last feature slot): position in the fixed
+# modality vocabulary, -1 for anything else. Chosen so a DuckDB oracle can
+# reproduce the full stub feature vector (a crc32 tag could not be).
+MODALITIES = ("image", "audio", "video")
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_offsets[n+1] int64 absolute, data uint8, valid bool) from an
+    Arrow binary array — zero-copy views into the Arrow buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    raw = np.frombuffer(bufs[1], dtype=off_dtype)
+    offsets = raw[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    if arr.null_count == 0:
+        valid = np.ones(len(arr), dtype=bool)
+    else:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    return offsets, data, valid
+
+
+def _chunk_means(row_offsets: np.ndarray, data: np.ndarray, k: int) -> np.ndarray:
+    """Per-row chunk means with ``np.array_split`` boundaries, vectorized.
+
+    ``row_offsets`` are absolute (start_i, end_i) positions into ``data``
+    (n+1 non-decreasing). One ``np.add.reduceat`` over the whole buffer
+    computes every (row, chunk) sum; byte sums are exact in float64, so
+    mean = sum/count is bit-identical to DuckDB's ``avg`` over the same
+    integers (the oracle contract).
+    """
+    lens = np.diff(row_offsets)
+    n = len(lens)
+    if n == 0 or len(data) == 0 or int(lens.sum()) == 0:
+        return np.zeros((n, k), dtype=np.float64)
+    q, r = lens // k, lens % k
+    j = np.arange(k + 1)
+    # array_split boundary j for length L: j*(L//k) + min(j, L%k)
+    bounds = q[:, None] * j[None, :] + np.minimum(j[None, :], r[:, None])
+    starts = (row_offsets[:-1, None] + bounds[:, :-1]).ravel()
+    counts = (bounds[:, 1:] - bounds[:, :-1]).ravel().astype(np.float64)
+    # sentinel 0-pad lets a start sit at len(data) (empty trailing segment)
+    # without clipping — clipping would shorten the *preceding* segment
+    padded = np.concatenate([data.astype(np.float64), [0.0]])
+    sums = np.add.reduceat(padded, starts)
+    # reduceat yields arr[start] (not 0) for empty segments — mask them out
+    means = np.where(counts > 0, sums / np.maximum(counts, 1.0), 0.0)
+    return means.reshape(n, k)
+
+
+def _modality_codes(modality: pa.Array | pd.Series) -> np.ndarray:
+    """image→0, audio→1, video→2, other→-1 — vectorized."""
+    if isinstance(modality, pd.Series):
+        codes = modality.map({m: float(i) for i, m in enumerate(MODALITIES)})
+        return codes.fillna(-1.0).to_numpy(dtype=np.float64)
+    idx = pc.index_in(modality, value_set=pa.array(MODALITIES))
+    out = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+    out[np.isnan(out)] = -1.0
+    return out
+
+
+def _stub_features(
+    row_offsets: np.ndarray, data: np.ndarray, mod_codes: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    k = MEDIA_FEATURE_DIM - 2
+    lens = np.diff(row_offsets)
+    out = np.zeros((len(lens), MEDIA_FEATURE_DIM), dtype=np.float64)
+    out[:, :k] = _chunk_means(row_offsets, data, k)
+    out[:, k] = lens.astype(np.float64)
+    out[:, k + 1] = mod_codes
+    out[~valid | (lens == 0)] = 0.0  # null / empty payload → all-zero row
+    return out
+
 
 def fake_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
     """Deterministic stand-in for decode + feature-extract: a fixed-dim
-    vector derived from the payload bytes (per-batch vectorized). Swap in
-    a real codec by passing a different ``decode_fn`` with the same
-    signature — the Spark plumbing is unchanged."""
-    out = np.zeros((len(content), MEDIA_FEATURE_DIM), dtype=np.float64)
-    for i, (buf, mod) in enumerate(zip(content, modality)):
-        if buf is None:
-            continue
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        if len(arr) == 0:
-            continue
-        chunks = np.array_split(arr.astype(np.float64), MEDIA_FEATURE_DIM - 2)
-        out[i, : MEDIA_FEATURE_DIM - 2] = [c.mean() if len(c) else 0.0 for c in chunks]
-        out[i, -2] = float(len(arr))
-        # stable across processes (builtin hash() is salted per run)
-        out[i, -1] = float(zlib.crc32(mod.encode()) % 997)
-    return out
+    vector derived from the payload bytes — 14 ``array_split`` chunk
+    means, the byte length, and a modality code. Fully vectorized
+    (concatenated buffer + one ``reduceat``); swap in a real codec by
+    passing a different ``decode_fn`` with the same signature — the
+    Spark plumbing is unchanged."""
+    valid = content.notna().to_numpy()
+    lens = np.zeros(len(content), dtype=np.int64)
+    lens[valid] = content[valid].str.len().to_numpy(dtype=np.int64)
+    row_offsets = np.concatenate([[0], np.cumsum(lens)])
+    data = np.frombuffer(b"".join(content[valid]), dtype=np.uint8)
+    return _stub_features(row_offsets, data, _modality_codes(modality), valid)
 
 
 def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
@@ -94,36 +175,67 @@ def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
 
 def extract_media_features(
     df: DataFrame,
-    decode_fn: Callable[[pd.Series, pd.Series], np.ndarray] = fake_decode_features,
+    decode_fn: Callable[[pd.Series, pd.Series], np.ndarray] | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """media table → per-item feature vectors, Arrow-batched.
 
-    Repartition by ``media_id`` hash spreads large payloads; each Arrow
-    batch is decoded as one vectorized call. At cluster scale, payload
-    bytes stay columnar Arrow buffers end-to-end (no per-row Python
-    objects besides the decode loop the codec itself requires).
+    Repartition by ``media_id`` hash spreads large payloads. The default
+    (stub) path runs as ``mapInArrow``: payload bytes stay columnar Arrow
+    buffers end-to-end, chunk means come from one ``reduceat`` per batch,
+    and the output list column is assembled from flat buffers — zero
+    per-row Python. A custom ``decode_fn`` (a real codec) runs on the
+    ``mapInPandas`` path with the documented pandas-Series signature.
     """
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    prepped = df.repartition(parts, "media_id")
+    prepped = df.repartition(parts, "media_id").select(
+        "media_id", "modality", "content"
+    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    if decode_fn is not None:
+        _decode = decode_fn
+
+        def fn_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = _decode(pdf["content"], pdf["modality"])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].to_numpy(),
+                        "modality": pdf["modality"].to_numpy(),
+                        "n_bytes": pdf["content"].str.len().fillna(0).astype("int64"),
+                        "feature_vec": list(vecs),
+                    }
+                )
+
+        return prepped.mapInPandas(fn_pandas, schema=MEDIA_FEATURES_SCHEMA)
+
+    def fn_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vecs = decode_fn(pdf["content"], pdf["modality"])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "modality": pdf["modality"].to_numpy(),
-                    "n_bytes": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
-                    ),
-                    "feature_vec": list(vecs),
-                }
+            cols = {f: batch.column(i) for i, f in enumerate(batch.schema.names)}
+            row_offsets, data, valid = _binary_parts(cols["content"])
+            feats = _stub_features(
+                row_offsets, data, _modality_codes(cols["modality"]), valid
+            )
+            fv = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * MEDIA_FEATURE_DIM),
+                pa.array(feats.ravel(), type=pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["media_id"],
+                    cols["modality"],
+                    pa.array(np.diff(row_offsets), type=pa.int64()),
+                    fv,
+                ],
+                names=["media_id", "modality", "n_bytes", "feature_vec"],
             )
 
-    return prepped.mapInPandas(fn, schema=MEDIA_FEATURES_SCHEMA)
+    return prepped.mapInArrow(fn_arrow, schema=MEDIA_FEATURES_SCHEMA)
 
 
 def sample_frames(
@@ -145,53 +257,131 @@ def sample_frames(
     ).filter(F.col("modality") == "video")
 
 
+def _gather_strided(
+    row_offsets: np.ndarray,
+    data: np.ndarray,
+    strides: np.ndarray,
+    counts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row strided subsample, one global fancy-index gather.
+
+    Row r keeps ``counts[r]`` bytes starting at ``row_offsets[r]`` with
+    step ``strides[r]``. Returns (out_data, out_offsets)."""
+    total = int(counts.sum())
+    out_offsets = np.concatenate([[0], np.cumsum(counts)])
+    if total == 0:
+        return np.empty(0, np.uint8), out_offsets
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_offsets[:-1], counts)
+    src = np.repeat(row_offsets[:-1], counts) + intra * np.repeat(strides, counts)
+    return data[src], out_offsets
+
+
 def resize_media(
     df: DataFrame,
     target_width: int = 224,
     target_height: int = 224,
     resize_fn: Callable | None = None,
 ) -> DataFrame:
-    """Resize plumbing for image rows: Arrow-batched ``mapInPandas``
-    preserving the media schema with updated (width, height) metadata.
+    """Resize plumbing for image rows, preserving the media schema.
 
-    The pixel-level resample itself is the STUBBED step (no codec in
-    this container): the default ``resize_fn`` deterministically
-    subsamples payload bytes to a size proportional to the target area —
-    the Spark-side contract (schema, batching, metadata rewrite) is real;
-    swap in a PIL/av-backed ``resize_fn`` with the same signature to get
-    true resampling.
+    The (width, height) metadata rewrite is pure JVM codegen (``F.when``
+    + struct repack — free). The pixel-level resample itself is the
+    STUBBED step (no codec in this container): the default kernel
+    deterministically subsamples payload bytes to a size proportional to
+    the target area as a ``mapInArrow`` batch op — strides and kept-byte
+    counts are computed per batch and applied with ONE fancy-index gather
+    over the Arrow data buffer, zero per-row Python. Swap in a
+    PIL/av-backed ``resize_fn(buf, w0, h0) -> bytes`` to get true
+    resampling (a real codec is inherently per-item; that loop lives in
+    the codec).
     """
+    is_img = F.col("modality") == F.lit("image")
+    new_meta = F.when(
+        is_img,
+        F.struct(
+            F.lit(int(target_width)).cast("int").alias("width"),
+            F.lit(int(target_height)).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.mime").alias("mime"),
+        ),
+    ).otherwise(F.col("meta"))
+    src_area = F.greatest(
+        F.coalesce(F.col("meta.width"), F.lit(1))
+        * F.coalesce(F.col("meta.height"), F.lit(1)),
+        F.lit(1),
+    )
+    prepped = df.select(
+        "media_id",
+        "modality",
+        "content",
+        new_meta.alias("meta"),
+        src_area.alias("_src_area"),
+    )
+    target_area = float(target_width * target_height)
 
-    def _fake_resize(buf: bytes, w0, h0) -> bytes:
-        if buf is None:
-            return None
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        src_area = max((w0 or 1) * (h0 or 1), 1)
-        keep = max(int(len(arr) * min(target_width * target_height / src_area, 1.0)), 1)
-        stride = max(len(arr) // keep, 1)
-        return arr[::stride][:keep].tobytes()
-
-    fn_resize = resize_fn or _fake_resize
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            is_img = pdf["modality"].to_numpy() == "image"
-            metas = []
-            contents = []
-            for img, content, meta in zip(is_img, pdf["content"], pdf["meta"]):
-                if not img:
-                    contents.append(content)
-                    metas.append(meta)
+    if resize_fn is not None:
+        # Custom codec path: per-item by nature (the codec's own loop).
+        def fn_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
                     continue
-                m = dict(meta) if meta is not None else {}
-                contents.append(fn_resize(content, m.get("width"), m.get("height")))
-                m["width"], m["height"] = target_width, target_height
-                metas.append(m)
-            out = pdf.copy()
-            out["content"] = contents
-            out["meta"] = metas
-            yield out
+                is_image = pdf["modality"].to_numpy() == "image"
+                w0 = pdf["meta"].map(lambda m: (m or {}).get("width"))
+                h0 = pdf["meta"].map(lambda m: (m or {}).get("height"))
+                resized = pd.Series(
+                    map(resize_fn, pdf["content"], w0, h0), index=pdf.index
+                )
+                out = pdf.drop(columns=["_src_area"]).copy()
+                out["content"] = resized.where(pd.Series(is_image, pdf.index), pdf["content"])
+                yield out
 
-    return df.mapInPandas(fn, schema=MEDIA_SCHEMA)
+        return prepped.mapInPandas(fn_pandas, schema=MEDIA_SCHEMA)
+
+    def fn_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {f: batch.column(i) for i, f in enumerate(batch.schema.names)}
+            content = cols["content"]
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            row_offsets, data, valid = _binary_parts(content)
+            lens = np.diff(row_offsets)
+            area = cols["_src_area"].to_numpy(zero_copy_only=False).astype(np.float64)
+            img = (
+                pc.equal(cols["modality"], "image").to_numpy(zero_copy_only=False)
+                & valid
+            )
+            # stub resample: keep ~ len * min(target_area/src_area, 1) bytes
+            keep = np.maximum(
+                (lens * np.minimum(target_area / area, 1.0)).astype(np.int64), 1
+            )
+            strides = np.where(img, np.maximum(lens // keep, 1), 1)
+            counts = np.where(
+                img,
+                np.minimum(keep, -(-lens // np.maximum(strides, 1))),  # ceil div
+                lens,
+            )
+            counts[~valid] = 0
+            out_data, out_offsets = _gather_strided(row_offsets, data, strides, counts)
+            off_type = (
+                np.int64 if pa.types.is_large_binary(content.type) else np.int32
+            )
+            bufs = [
+                None
+                if content.null_count == 0
+                else pa.py_buffer(np.packbits(valid, bitorder="little")),
+                pa.py_buffer(out_offsets.astype(off_type)),
+                pa.py_buffer(out_data),
+            ]
+            new_content = pa.Array.from_buffers(
+                content.type, n, bufs, null_count=content.null_count
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols["media_id"], cols["modality"], new_content, cols["meta"]],
+                names=["media_id", "modality", "content", "meta"],
+            )
+
+    return prepped.mapInArrow(fn_arrow, schema=MEDIA_SCHEMA)

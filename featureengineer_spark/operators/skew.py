@@ -39,21 +39,29 @@ def detect_heavy_keys(
     """Entities whose row count exceeds ``threshold`` (heavy hitters).
 
     Exact form: one partial+final count agg. With ``sample_denominator``
-    = D, the probe counts only the deterministic 1/D hash-sample of rows
-    (``xxhash64(row) % D == 0``) and scales the threshold — at 10¹²
-    rows the exact probe is itself a full-size aggregation, while a
-    heavy key (≥ threshold rows) appears ≥ threshold/D times in the
-    sample with relative error ~1/√(threshold/D); D = threshold/10⁴
-    keeps the error under ~1%. Sampling by row hash (not by key) so
-    every key is observable. Callers route heavy keys to the salted path
-    and the rest to plain windows; the router only needs the yes/no set,
-    which is robust to the sampling noise by construction (borderline
-    keys are fine on either path — results are exactly equal).
+    = D, the probe counts only a 1/D hash-sample of rows and scales the
+    threshold — at 10¹² rows the exact probe is itself a full-size
+    aggregation, while a heavy key (≥ threshold rows) appears ≥
+    threshold/D times in the sample with relative error
+    ~1/√(threshold/D); D = threshold/10⁴ keeps the error under ~1%.
+    The hash basis includes a per-row unique id — hashing only the
+    column values would give all copies of an exactly-duplicated row one
+    shared all-or-nothing sampling decision, biasing counts for keys
+    with heavy row duplication. (This makes the sampled probe
+    nondeterministic across runs; the router only needs the yes/no set,
+    which is robust to the sampling noise by construction — borderline
+    keys are fine on either path, results are exactly equal.) Sampling
+    by row (not by key) so every key is observable. Callers route heavy
+    keys to the salted path and the rest to plain windows.
     """
     if sample_denominator and sample_denominator > 1:
         cols = [F.col(c) for c in df.columns]
-        sampled = df.filter(
-            F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(sample_denominator)) == 0
+        sampled = df.withColumn("__rowid", F.monotonically_increasing_id()).filter(
+            F.pmod(
+                F.xxhash64(F.lit(seed), F.col("__rowid"), *cols),
+                F.lit(sample_denominator),
+            )
+            == 0
         )
         scaled = max(threshold // sample_denominator, 1)
         return (

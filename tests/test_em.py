@@ -114,3 +114,24 @@ def test_train_gmm_split_rejects_non_power_of_two(spark, gmm_data):
     df, _ = gmm_data
     with pytest.raises(ValueError, match="power of two"):
         train_gmm_split(df, n_components=3)
+
+
+def test_reduce_partials_rejects_wrong_length_and_empty(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.em import reduce_partials
+
+    good = spark.createDataFrame(
+        [([1.0, 2.0], 3.0), ([4.0, 5.0], 7.0)], "arr: array<double>, s: double"
+    )
+    out = reduce_partials(good, {"arr": 2, "s": None})
+    assert list(out["arr"]) == [5.0, 7.0] and out["s"] == 10.0
+
+    bad = spark.createDataFrame([([1.0, 2.0, 3.0],)], "arr: array<double>")
+    with pytest.raises(Exception, match="must have length 2"):
+        reduce_partials(bad, {"arr": 2})
+
+    empty = good.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty input frame"):
+        reduce_partials(empty, {"arr": 2, "s": None})

@@ -46,6 +46,78 @@ def test_extract_media_features_shape_and_determinism(spark, media):
     assert np.allclose(null_row["feature_vec"], 0.0)
 
 
+def test_fake_decode_matches_naive_per_row_reference(media):
+    """The vectorized reduceat kernel must equal a literal per-row
+    array_split implementation (the semantics the DuckDB oracle mirrors)."""
+    import pandas as pd
+
+    from featureengineer_spark.operators.multimodal import (
+        MODALITIES,
+        fake_decode_features,
+    )
+
+    pdf = media.toPandas().sort_values("media_id")
+    got = fake_decode_features(pdf["content"], pdf["modality"])
+    k = MEDIA_FEATURE_DIM - 2
+    exp = np.zeros((len(pdf), MEDIA_FEATURE_DIM))
+    for i, (buf, mod) in enumerate(zip(pdf["content"], pdf["modality"])):
+        if buf is None or len(buf) == 0:
+            continue
+        arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+        for j, c in enumerate(np.array_split(arr, k)):
+            exp[i, j] = c.mean() if len(c) else 0.0
+        exp[i, k] = float(len(arr))
+        exp[i, k + 1] = float(MODALITIES.index(mod)) if mod in MODALITIES else -1.0
+    np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12)
+
+
+def test_arrow_and_pandas_decode_paths_agree(spark, media):
+    """mapInArrow default path == mapInPandas custom-fn path, including a
+    multi-partition layout that slices the Arrow arrays."""
+    from featureengineer_spark.operators.multimodal import fake_decode_features
+
+    a = extract_media_features(media).toPandas().sort_values("media_id")
+    b = (
+        extract_media_features(media, decode_fn=fake_decode_features, partitions=5)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    np.testing.assert_allclose(
+        np.vstack(a["feature_vec"].to_numpy()),
+        np.vstack(b["feature_vec"].to_numpy()),
+        rtol=0,
+        atol=1e-12,
+    )
+    assert (a["n_bytes"].to_numpy() == b["n_bytes"].to_numpy()).all()
+
+
+def test_resize_arrow_matches_per_row_stub(spark, media):
+    """Default vectorized resize == a literal per-row arr[::stride][:keep]."""
+    tw = th = 32
+    out = {
+        r["media_id"]: r for r in resize_media_import()(media, tw, th).collect()
+    }
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, row in src.items():
+        exp = row["content"]
+        if row["modality"] == "image" and exp is not None:
+            arr = np.frombuffer(exp, dtype=np.uint8)
+            m = row["meta"]
+            area = max((m["width"] or 1) * (m["height"] or 1), 1)
+            keep = max(int(len(arr) * min(tw * th / area, 1.0)), 1)
+            stride = max(len(arr) // keep, 1)
+            exp = arr[::stride][:keep].tobytes()
+        got = out[mid]["content"]
+        got = bytes(got) if got is not None else None
+        assert got == exp, f"media_id={mid}"
+
+
+def resize_media_import():
+    from featureengineer_spark.operators.multimodal import resize_media
+
+    return resize_media
+
+
 def test_real_decode_is_cleanly_stubbed(media):
     import pandas as pd
 
