@@ -118,6 +118,53 @@ def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np
     return out
 
 
+def reduce_sliced_partials(
+    df: DataFrame,
+    total_size: int,
+    slice_elems: int,
+    start_col: str = "start",
+    vals_col: str = "vals",
+) -> np.ndarray:
+    """In-cluster reduce of a flat partial vector shipped as bounded
+    slices.
+
+    Rows carry ``(start, vals)`` where ``vals`` is the slice of a
+    conceptual length-``total_size`` vector beginning at ``start`` —
+    kernels emit slices of at most ``slice_elems`` doubles so no single
+    Arrow row (or shuffle record) exceeds the caller's byte budget, the
+    chunked analog of the reference's 4 GB MPI reduce loop
+    (``mpiIV.py:184-201``). Positions are globalized (start + offset),
+    hash-aggregated with map-side combine, and gathered as one Arrow
+    table; the driver receives exactly ``total_size`` values.
+    """
+    expected = F.least(
+        F.lit(int(slice_elems)), F.lit(int(total_size)) - F.col(start_col)
+    )
+    guarded = F.when(F.size(F.col(vals_col)) == expected, F.col(vals_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("reduce_sliced_partials: slice at start "),
+                F.col(start_col).cast("string"),
+                F.lit(" has length "),
+                F.size(F.col(vals_col)).cast("string"),
+                F.lit(", expected "),
+                expected.cast("string"),
+            )
+        )
+    )
+    exploded = df.select(
+        F.col(start_col), F.posexplode(guarded).alias("p", "v")
+    ).select((F.col(start_col) + F.col("p")).alias("pos"), "v")
+    pdf = exploded.groupBy("pos").agg(F.sum("v").alias("s")).toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "reduce_sliced_partials: no partial slices to reduce (empty input)"
+        )
+    flat = np.zeros(int(total_size))
+    flat[pdf["pos"].to_numpy()] = pdf["s"].to_numpy()
+    return flat
+
+
 def init_gmm(df: DataFrame, vec_col: str, n_components: int, seed: int = 0) -> GMM:
     """Deterministic init: global mean/var (one pass) + seeded jitter on
     the means — the reference initializes from global statistics too

@@ -19,6 +19,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: rows above which the query side is no longer broadcast by default —
+#: at 64-dim float64 vectors this caps the broadcast at ~50 MB plus ids.
+DEFAULT_MAX_BROADCAST_ROWS = 100_000
+
+
+def _broadcast_if_small(
+    q: DataFrame, broadcast: bool | None, max_rows: int
+) -> DataFrame:
+    """Broadcast-hint the probe side only when it is actually small.
+
+    The probe-style contract (|Q| ≪ |C|) wants a broadcast; an
+    all-pairs-shaped call (Q = corpus, e.g. full-corpus ANN dedup) must
+    NOT broadcast the corpus at itself. ``broadcast=None`` decides with
+    a limit-bounded count (reads at most ``max_rows``+1 rows, never a
+    full scan of a huge query side); pass True/False to force."""
+    if broadcast is None:
+        broadcast = q.limit(max_rows + 1).count() <= max_rows
+    return F.broadcast(q) if broadcast else q
+
+
 def _norm(vec_col: str) -> F.Column:
     return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -34,14 +54,20 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool | None = None,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each query vector.
 
     queries: (query_id, embedding). Self-matches (same id) are excluded.
     Tie-break: higher cosine first, then lower neighbor id — fully
-    deterministic. The corpus side stays as-is; the (small) query side is
-    broadcast, so the pair space is |Q|×|C| scanned in one pass, no
-    shuffle until the per-query top-k aggregation.
+    deterministic. The corpus side stays as-is; a small query side
+    (≤ ``max_broadcast_rows``) is broadcast so the |Q|×|C| pair space is
+    scanned in one pass with no shuffle before the per-query top-k. An
+    all-pairs-shaped call (queries ≈ corpus) instead runs as a
+    block-partitioned cartesian — |C|-partitions × |Q|-partitions tasks,
+    nothing collected or broadcast — which is the honest cost of exact
+    all-pairs; prefer ``ann_topk_lsh`` / ``ann_topk_ivf`` at that shape.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -53,7 +79,8 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col(query_id_col))
+    q = _broadcast_if_small(q, broadcast_queries, max_broadcast_rows)
+    pairs = c.crossJoin(q).filter(F.col("neighbor_id") != F.col(query_id_col))
     scored = pairs.select(
         query_id_col,
         "neighbor_id",
@@ -178,6 +205,8 @@ def ann_topk_ivf(
     query_id_col: str = "query_id",
     seed: int = 0,
     centroids: np.ndarray | None = None,
+    broadcast_queries: bool | None = None,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions the
     corpus into ``n_lists`` inverted lists; each query exactly scans only
@@ -185,7 +214,9 @@ def ann_topk_ivf(
     ``list_id`` — expected cost |Q|·|C|·(n_probe/n_lists) — and the final
     ranking is exact cosine within the probed lists. The alternative
     scale path to ``ann_topk_lsh`` (recall degrades gracefully with
-    ``n_probe`` instead of with hash width)."""
+    ``n_probe`` instead of with hash width). A query side past
+    ``max_broadcast_rows`` joins as a plain shuffle equi join on
+    ``list_id`` instead of being broadcast."""
     if centroids is None:
         centroids = train_kmeans(
             corpus.select(F.col(vec_col)), k=n_lists, n_iter=kmeans_iter,
@@ -219,7 +250,8 @@ def ann_topk_ivf(
         F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    pairs = c.join(F.broadcast(q), on="list_id").filter(
+    q = _broadcast_if_small(q, broadcast_queries, max_broadcast_rows)
+    pairs = c.join(q, on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )
     scored = pairs.select(
@@ -283,13 +315,18 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    broadcast_queries: bool | None = None,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to vectors sharing any of the
     query's ``n_tables`` LSH buckets (OR amplification), then exact
     cosine ranking within the candidate set. At corpus scale the bucket
     join replaces the |Q|×|C| scan with ~|Q|×|C|·T/2^planes expected
     pairs; recall rises with ``n_tables``, candidate cost with
-    ``n_planes`` lowered."""
+    ``n_planes`` lowered. A query side past ``max_broadcast_rows`` joins
+    as a plain shuffle equi join on (table_idx, bucket) — the bucketed
+    candidate bound makes all-pairs-shaped calls (queries ≈ corpus)
+    safe without any broadcast."""
     c = hyperplane_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         dim, n_planes, n_tables, vec_col, seed,
@@ -298,8 +335,9 @@ def ann_topk_lsh(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
         dim, n_planes, n_tables, "__qv", seed,
     ).withColumn("__qn", _norm("__qv")).filter(F.col("__qn") > 0)
+    q = _broadcast_if_small(q, broadcast_queries, max_broadcast_rows)
     pairs = (
-        c.join(F.broadcast(q), on=["table_idx", "bucket"])
+        c.join(q, on=["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         # a pair colliding in several tables must score once
         .dropDuplicates(["neighbor_id", query_id_col])

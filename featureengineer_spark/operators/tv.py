@@ -17,11 +17,13 @@ Spark-native split (same shape as ``em.train_gmm``):
 
 * stats whitening: one Arrow kernel, model broadcast — the reference's
   ``whiten_stat1`` (``mpiIV.py:289-293``).
-* E-step: ``mapInArrow`` over StatServer batches; each batch emits ONE
-  partial row (A = Σ N_k·E[wwᵀ] per component, C = Σ E[w]·s̃₁ᵀ,
-  R = Σ E[wwᵀ], n) with symmetric matrices upper-triangle packed (the
-  reference's 4 GB-MPI-limit packing, ``mpiIV.py:139-141``). Partials
-  reduce IN-CLUSTER via ``em.reduce_partials`` (hash agg by position);
+* E-step: ``mapInArrow`` over StatServer batches; each TASK accumulates
+  its partial (A = Σ N_k·E[wwᵀ] per component, C = Σ E[w]·s̃₁ᵀ,
+  R = Σ E[wwᵀ], n) across all its batches in one numpy buffer, with
+  symmetric matrices upper-triangle packed (the reference's
+  4 GB-MPI-limit packing, ``mpiIV.py:139-141``), then emits it as flat
+  slices of at most ``max_partial_bytes`` each. Slices reduce
+  IN-CLUSTER via ``em.reduce_sliced_partials`` (positional hash agg);
   the driver receives O(K·R² + K·d·R) doubles regardless of input size.
 * M-step: driver-side numpy per-component solve T_k = solve(A_k, C_k)ᵀ
   plus the optional minimum-divergence Cholesky step
@@ -30,11 +32,17 @@ Spark-native split (same shape as ``em.train_gmm``):
   BATCHED (one ``np.linalg.solve`` over the whole Arrow batch), not a
   Python loop per row.
 
-Scale notes: the shuffled partial per batch is K·R(R+1)/2 + R·K·d
-doubles; at the reference's production shape (K=2048, d=39, R=400)
-that is ~160 MB — batch count per executor is bounded by
-``maxRecordsPerBatch``, and the positional hash-agg combines map-side,
-so nothing accumulates on one node. Extraction shuffles nothing at all.
+Scale notes: the full partial is K·R(R+1)/2 + R·K·d + R(R+1)/2 + 1
+doubles — at the reference's production shape (K=2048, d=39, R=400)
+that is ≈1.3 GB for A plus ≈256 MB for C, i.e. ≈1.6 GB, the same
+object the reference chunks through its 4 GB MPI ceiling
+(``mpiIV.py:184-201``). Hence: ONE accumulator per task (not per Arrow
+batch), shipped as ``max_partial_bytes``-bounded slices so no Arrow
+record, shuffle row, or executor spike scales with K·R²; the shuffle
+carries #tasks × partial-size positional pairs with map-side combine;
+the driver gathers exactly one full partial (it must hold A for the
+per-component solves, as the reference's root rank does). Extraction
+shuffles nothing at all.
 """
 
 from __future__ import annotations
@@ -46,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from featureengineer_spark.operators.em import GMM, reduce_partials
+from featureengineer_spark.operators.em import GMM, reduce_sliced_partials
 
 __all__ = [
     "TVModel",
@@ -151,6 +159,72 @@ def _posteriors(
     return e_w, e_ww
 
 
+def _estep_partials(
+    src: DataFrame,
+    f_mat: np.ndarray,
+    k: int,
+    d: int,
+    max_partial_bytes: int,
+) -> tuple[DataFrame, int, int]:
+    """One E-step pass → sliced-partial frame.
+
+    Each task folds ALL its Arrow batches into one numpy accumulator
+    (A triangle-packed per component, C, R, n) and emits it as flat
+    ``(start, vals)`` slices of at most ``max_partial_bytes`` — no Arrow
+    record or shuffle row ever scales with K·R². Returns
+    (frame, total_size, slice_elems) for ``reduce_sliced_partials``.
+    """
+    import pyarrow as pa
+
+    sc = src.sparkSession.sparkContext
+    sv = k * d
+    rank = f_mat.shape[1]
+    tri = np.triu_indices(rank)
+    n_tri = rank * (rank + 1) // 2
+    total_size = k * n_tri + rank * sv + n_tri + 1
+    slice_elems = max(int(max_partial_bytes) // 8, 1)
+    b_f = sc.broadcast(f_mat)
+
+    part_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def estep(batches):
+        f_cur = b_f.value
+        a_acc = np.zeros((k, n_tri))
+        c_acc = np.zeros((rank, sv))
+        r_acc = np.zeros(n_tri)
+        n_acc = 0.0
+        seen = False
+        for batch in batches:
+            s0 = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, k)
+            s1w = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, sv)
+            e_w, e_ww = _posteriors(s0, s1w, f_cur, k, d)
+            e_ww_tri = e_ww[:, tri[0], tri[1]]  # (n, n_tri)
+            a_acc += s0.T @ e_ww_tri  # (K, n_tri)
+            c_acc += e_w.T @ s1w  # (R, K·d)
+            r_acc += e_ww_tri.sum(axis=0)  # (n_tri,)
+            n_acc += float(s0.shape[0])
+            seen = True
+        if not seen:
+            return
+        flat = np.concatenate([a_acc.ravel(), c_acc.ravel(), r_acc, [n_acc]])
+        for s in range(0, flat.size, slice_elems):
+            sl = flat[s : s + slice_elems]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([s], type=pa.int64()),
+                    _list_array(sl.reshape(1, -1)),
+                ],
+                names=["start", "vals"],
+            )
+
+    return src.mapInArrow(estep, schema=part_schema), total_size, slice_elems
+
+
 def train_total_variability(
     stats: DataFrame,
     ubm: GMM,
@@ -162,16 +236,16 @@ def train_total_variability(
     stat0_col: str = "stat0",
     stat1_col: str = "stat1",
     whitened: bool = False,
+    max_partial_bytes: int = 64 << 20,
 ) -> TVModel:
     """Distributed TV EM over a StatServer DataFrame.
 
-    One Spark job per iteration; each Arrow batch contributes ONE
-    triangle-packed partial row, reduced in-cluster. The M-step is the
-    reference's per-component solve (``mpiIV.py:222-228``) + optional
+    One Spark job per iteration; each task contributes ONE
+    triangle-packed partial, shipped as ``max_partial_bytes``-bounded
+    slices and reduced in-cluster. The M-step is the reference's
+    per-component solve (``mpiIV.py:222-228``) + optional
     minimum-divergence Cholesky rescale (``mpiIV.py:229-234``)."""
-    import pyarrow as pa
-
-    sc = stats.sparkSession.sparkContext
+    sc = stats.sparkSession.sparkContext  # noqa: F841 — session liveness
     k, d = ubm.means.shape
     sv = k * d
     rng = np.random.default_rng(seed)
@@ -187,46 +261,16 @@ def train_total_variability(
     tri = np.triu_indices(rank)
     n_tri = rank * (rank + 1) // 2
 
-    part_schema = T.StructType(
-        [
-            T.StructField("a", T.ArrayType(T.DoubleType())),  # K · n_tri
-            T.StructField("c", T.ArrayType(T.DoubleType())),  # R · K·d
-            T.StructField("r", T.ArrayType(T.DoubleType())),  # n_tri
-            T.StructField("n", T.DoubleType()),
-        ]
-    )
-
     model = TVModel(F_mat=f_mat, ubm=ubm)
     for _ in range(n_iter):
-        b_f = sc.broadcast(model.F_mat)
-
-        def estep(batches):
-            f_cur = b_f.value
-            for batch in batches:
-                s0 = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, k)
-                s1w = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, sv)
-                e_w, e_ww = _posteriors(s0, s1w, f_cur, k, d)
-                e_ww_tri = e_ww[:, tri[0], tri[1]]  # (n, n_tri)
-                a_part = s0.T @ e_ww_tri  # (K, n_tri)
-                c_part = e_w.T @ s1w  # (R, K·d)
-                r_part = e_ww_tri.sum(axis=0)  # (n_tri,)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([a_part.ravel().tolist()], type=pa.list_(pa.float64())),
-                        pa.array([c_part.ravel().tolist()], type=pa.list_(pa.float64())),
-                        pa.array([r_part.tolist()], type=pa.list_(pa.float64())),
-                        pa.array([float(s0.shape[0])]),
-                    ],
-                    names=["a", "c", "r", "n"],
-                )
-
-        parts = reduce_partials(
-            src.mapInArrow(estep, schema=part_schema),
-            {"a": k * n_tri, "c": rank * sv, "r": n_tri, "n": None},
+        frame, total_size, slice_elems = _estep_partials(
+            src, model.F_mat, k, d, max_partial_bytes
         )
-        a_acc = parts["a"].reshape(k, n_tri)
-        c_acc = parts["c"].reshape(rank, sv)
-        r_acc = parts["r"] / parts["n"]
+        flat = reduce_sliced_partials(frame, total_size, slice_elems)
+        a_acc = flat[: k * n_tri].reshape(k, n_tri)
+        c_acc = flat[k * n_tri : k * n_tri + rank * sv].reshape(rank, sv)
+        n_total = flat[-1]
+        r_acc = flat[k * n_tri + rank * sv : -1] / n_total
 
         new_f = np.empty_like(model.F_mat)
         a_full = np.zeros((rank, rank))

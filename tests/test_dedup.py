@@ -324,3 +324,43 @@ def test_near_dup_clusters_long_chain_doubling(spark):
         got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs, max_iter=12).collect()}
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_similarity_all_pairs_shape_no_broadcast(spark, clustered_vecs):
+    """All-pairs-shaped call (queries == corpus): the size guard must not
+    FORCE a broadcast of the corpus at itself. With the cost-based
+    auto-broadcast disabled, only a hint could produce a
+    BroadcastExchange — plan-asserted absent on the guarded path,
+    present on the forced path — and both paths return identical rows."""
+    from featureengineer_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    queries = clustered_vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = cosine_topk(clustered_vecs, queries, k=3, max_broadcast_rows=50)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "CartesianProduct" in plan, plan  # block-partitioned exact path
+        hinted = cosine_topk(clustered_vecs, queries, k=3, broadcast_queries=True)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        assert sorted(map(tuple, guarded.collect())) == sorted(
+            map(tuple, hinted.collect())
+        )
+
+        lsh_guarded = ann_topk_lsh(
+            clustered_vecs, queries, dim=16, k=3, n_planes=8, n_tables=6,
+            max_broadcast_rows=50,
+        )
+        plan = lsh_guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        lsh_hinted = ann_topk_lsh(
+            clustered_vecs, queries, dim=16, k=3, n_planes=8, n_tables=6,
+            broadcast_queries=True,
+        )
+        assert sorted(map(tuple, lsh_guarded.collect())) == sorted(
+            map(tuple, lsh_hinted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

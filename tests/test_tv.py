@@ -155,3 +155,59 @@ def test_full_pipeline_stats_to_latent(spark):
     assert all(len(r["latent"]) == RANK for r in out)
     vals = np.array([r["latent"] for r in out])
     assert np.isfinite(vals).all() and np.abs(vals).max() > 0
+
+
+def test_estep_partials_bounded_at_production_shape(spark):
+    """K=512·d=39·R=200 (the reference's production shape family): the
+    full E-step partial is ~114 MB, well past a sane Arrow record — every
+    emitted slice must respect max_partial_bytes, and the sliced
+    in-cluster reduce must equal the in-process numpy partial."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.em import reduce_sliced_partials
+    from featureengineer_spark.operators.tv import _estep_partials, _posteriors
+
+    k, d, rank, n = 512, 39, 200, 24
+    sv = k * d
+    rng = np.random.default_rng(13)
+    stat0 = rng.uniform(1.0, 5.0, size=(n, k))
+    stat1 = rng.standard_normal((n, sv))
+    f_mat = rng.standard_normal((sv, rank)) * 0.1
+
+    schema = T.StructType(
+        [
+            T.StructField("stat0", T.ArrayType(T.DoubleType())),
+            T.StructField("stat1", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(stat0[i].tolist(), stat1[i].tolist()) for i in range(n)], schema
+    ).repartition(4)
+
+    budget = 8 << 20  # 8 MB → 1M doubles per slice
+    frame, total_size, slice_elems = _estep_partials(df, f_mat, k, d, budget)
+    n_tri = rank * (rank + 1) // 2
+    assert total_size == k * n_tri + rank * sv + n_tri + 1
+    assert slice_elems == budget // 8
+
+    frame = frame.persist()
+    sizes = frame.select(F.size("vals").alias("s")).toPandas()["s"]
+    assert sizes.max() <= slice_elems  # no row exceeds the byte budget
+    assert len(sizes) >= -(-total_size // slice_elems)  # >= ceil slices
+
+    flat = reduce_sliced_partials(frame, total_size, slice_elems)
+    frame.unpersist()
+
+    # in-process replication of the same partial
+    tri = np.triu_indices(rank)
+    e_w, e_ww = _posteriors(stat0, stat1, f_mat, k, d)
+    e_ww_tri = e_ww[:, tri[0], tri[1]]
+    exp = np.concatenate(
+        [
+            (stat0.T @ e_ww_tri).ravel(),
+            (e_w.T @ stat1).ravel(),
+            e_ww_tri.sum(axis=0),
+            [float(n)],
+        ]
+    )
+    np.testing.assert_allclose(flat, exp, rtol=1e-9, atol=1e-9)
