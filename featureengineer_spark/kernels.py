@@ -242,8 +242,11 @@ def featurize_fast(
         "turn_idx",
         "ts",
         F.length(text).cast("double").alias("__text_len"),
+        # regexp_count avoids materializing a per-row word ARRAY just to
+        # take its size (split+size allocated ~n_words strings per row in
+        # the scan stage); identical count: tokens = separator runs + 1
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.regexp_count(trimmed, F.lit(r"\s+")) + 1)
         .cast("double")
         .alias("__n_words"),
         (F.col("role") == "user").cast("double").alias("__is_user"),
@@ -352,7 +355,7 @@ def featurize_sql(df: DataFrame, model: FeatureModel | None = None) -> DataFrame
     stats: list = [
         text_len,
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.regexp_count(trimmed, F.lit(r"\s+")) + 1)
         .cast("double"),
         (F.col("role") == "user").cast("double"),
         (F.col("role") == "assistant").cast("double"),

@@ -9,6 +9,11 @@ from featureengineer_spark.operators.windows import (  # noqa: F401
     with_deltas,
     with_group_norm,
     with_cumulative,
+    with_ewma,
+    with_iir,
+    iir_impulse_response,
+    RASTA_B,
+    RASTA_A,
 )
 from featureengineer_spark.operators.asof import (  # noqa: F401
     asof_join,
@@ -16,7 +21,11 @@ from featureengineer_spark.operators.asof import (  # noqa: F401
     asof_join_pandas,
     salted_asof_join,
 )
-from featureengineer_spark.operators.skew import detect_heavy_keys, salted_rolling_counts  # noqa: F401
+from featureengineer_spark.operators.skew import (  # noqa: F401
+    detect_heavy_keys,
+    salted_iir,
+    salted_rolling_counts,
+)
 from featureengineer_spark.operators.tv import (  # noqa: F401
     TVModel,
     extract_latent_factors,

@@ -192,8 +192,9 @@ def train_gmm(
     min_var: float = 1e-6,
     model: GMM | None = None,
 ) -> GMM:
-    """Distributed EM. One Spark job per iteration; per-batch partials
-    only (nothing row-shaped leaves executors)."""
+    """Distributed EM. One Spark job per iteration; ONE partial per task
+    (accumulated across its Arrow batches in numpy — nothing row-shaped
+    or per-batch leaves executors), reduced in-cluster."""
     import pyarrow as pa
 
     sc = df.sparkSession.sparkContext
@@ -217,22 +218,33 @@ def train_gmm(
         def estep(batches):
             w, mu, var = b_model.value
             m = GMM(w, mu, var)
+            nk = np.zeros(k)
+            sx = np.zeros((k, d))
+            sxx = np.zeros((k, d))
+            llk = 0.0
+            n_rows = 0.0
+            seen = False
             for batch in batches:
                 x = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
-                gamma, llk = _responsibilities(x, m)
-                nk = gamma.sum(axis=0)  # (k,)
-                sx = gamma.T @ x  # (k, d)
-                sxx = gamma.T @ (x * x)  # (k, d)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([nk.tolist()], type=pa.list_(pa.float64())),
-                        pa.array([sx.ravel().tolist()], type=pa.list_(pa.float64())),
-                        pa.array([sxx.ravel().tolist()], type=pa.list_(pa.float64())),
-                        pa.array([llk]),
-                        pa.array([float(x.shape[0])]),
-                    ],
-                    names=["nk", "sx", "sxx", "llk", "n"],
-                )
+                gamma, b_llk = _responsibilities(x, m)
+                nk += gamma.sum(axis=0)  # (k,)
+                sx += gamma.T @ x  # (k, d)
+                sxx += gamma.T @ (x * x)  # (k, d)
+                llk += b_llk
+                n_rows += float(x.shape[0])
+                seen = True
+            if not seen:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([nk.tolist()], type=pa.list_(pa.float64())),
+                    pa.array([sx.ravel().tolist()], type=pa.list_(pa.float64())),
+                    pa.array([sxx.ravel().tolist()], type=pa.list_(pa.float64())),
+                    pa.array([llk]),
+                    pa.array([n_rows]),
+                ],
+                names=["nk", "sx", "sxx", "llk", "n"],
+            )
 
         parts = reduce_partials(
             vecs.mapInArrow(estep, schema=part_schema),

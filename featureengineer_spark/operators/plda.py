@@ -77,8 +77,9 @@ def class_means(
 
 
 def _second_moment(df: DataFrame, vec_col: str, d: int, weight_col: str | None = None):
-    """Distributed Σ w·xxᵀ (+ Σ w·x, Σ w) via per-batch numpy partials
-    reduced in-cluster. Returns (n, sx (d,), sxx (d,d))."""
+    """Distributed Σ w·xxᵀ (+ Σ w·x, Σ w) via per-TASK numpy partials
+    (accumulated across Arrow batches) reduced in-cluster. Returns
+    (n, sx (d,), sxx (d,d))."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -86,6 +87,10 @@ def _second_moment(df: DataFrame, vec_col: str, d: int, weight_col: str | None =
     src = df.select(*cols)
 
     def partials(batches):
+        n_acc = 0.0
+        sx_acc = np.zeros(d)
+        sxx_acc = np.zeros((d, d))
+        seen = False
         for batch in batches:
             x = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
             w = (
@@ -93,14 +98,20 @@ def _second_moment(df: DataFrame, vec_col: str, d: int, weight_col: str | None =
                 if weight_col
                 else np.ones(x.shape[0])
             )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([float(w.sum())]),
-                    pa.array([(w @ x).tolist()], type=pa.list_(pa.float64())),
-                    pa.array([((x * w[:, None]).T @ x).ravel().tolist()], type=pa.list_(pa.float64())),
-                ],
-                names=["n", "sx", "sxx"],
-            )
+            n_acc += float(w.sum())
+            sx_acc += w @ x
+            sxx_acc += (x * w[:, None]).T @ x
+            seen = True
+        if not seen:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n_acc]),
+                pa.array([sx_acc.tolist()], type=pa.list_(pa.float64())),
+                pa.array([sxx_acc.ravel().tolist()], type=pa.list_(pa.float64())),
+            ],
+            names=["n", "sx", "sxx"],
+        )
 
     schema = T.StructType(
         [
@@ -314,21 +325,27 @@ def train_plda(
             r = v_cur.shape[1]
             g = v_cur.T @ si @ v_cur  # (r, r)
             vt_si = v_cur.T @ si  # (r, d)
+            r1 = np.zeros((d, r))
+            r2 = np.zeros((r, r))
+            seen = False
             for batch in batches:
                 nc = batch.column(0).to_numpy(zero_copy_only=False)
                 f_c = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
                 prec = np.eye(r) + nc[:, None, None] * g  # (c, r, r)
                 cov = np.linalg.inv(prec)
                 h = np.einsum("crs,cs->cr", cov, f_c @ vt_si.T)
-                r1 = f_c.T @ h  # (d, r)
-                r2 = (cov * nc[:, None, None]).sum(axis=0) + (h * nc[:, None]).T @ h
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([r1.ravel().tolist()], type=pa.list_(pa.float64())),
-                        pa.array([r2.ravel().tolist()], type=pa.list_(pa.float64())),
-                    ],
-                    names=["r1", "r2"],
-                )
+                r1 += f_c.T @ h  # (d, r)
+                r2 += (cov * nc[:, None, None]).sum(axis=0) + (h * nc[:, None]).T @ h
+                seen = True
+            if not seen:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r1.ravel().tolist()], type=pa.list_(pa.float64())),
+                    pa.array([r2.ravel().tolist()], type=pa.list_(pa.float64())),
+                ],
+                names=["r1", "r2"],
+            )
 
         parts = reduce_partials(
             cls_frame.mapInArrow(estep, schema=part_schema),

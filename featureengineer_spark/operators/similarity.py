@@ -130,11 +130,12 @@ def train_kmeans(
 ) -> np.ndarray:
     """Distributed Lloyd k-means → (k, d) centroids.
 
-    Same executor/driver split as ``em.train_gmm``: each Arrow batch
-    emits one partial row (per-centroid count + sum after hard nearest
-    assignment), partials reduce IN-CLUSTER, the driver recomputes
-    centroids and re-broadcasts. Init = deterministic hash-sampled rows.
-    Empty clusters keep their previous centroid (deterministic).
+    Same executor/driver split as ``em.train_gmm``: each TASK emits one
+    partial row (per-centroid count + sum after hard nearest assignment,
+    accumulated across its Arrow batches), partials reduce IN-CLUSTER,
+    the driver recomputes centroids and re-broadcasts. Init =
+    deterministic hash-sampled rows. Empty clusters keep their previous
+    centroid (deterministic).
     """
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -167,19 +168,24 @@ def train_kmeans(
         def partials(batches):
             c = b_c.value
             cn2 = (c * c).sum(axis=1)
+            n_part = np.zeros(k)
+            s_part = np.zeros((k, d))
+            seen = False
             for batch in batches:
                 x = batch.column(0).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
                 assign = np.argmin(cn2 - 2.0 * (x @ c.T), axis=1)
-                n_part = np.bincount(assign, minlength=k).astype(np.float64)
-                s_part = np.zeros((k, d))
+                n_part += np.bincount(assign, minlength=k).astype(np.float64)
                 np.add.at(s_part, assign, x)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([n_part.tolist()], type=pa.list_(pa.float64())),
-                        pa.array([s_part.ravel().tolist()], type=pa.list_(pa.float64())),
-                    ],
-                    names=["n", "s"],
-                )
+                seen = True
+            if not seen:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([n_part.tolist()], type=pa.list_(pa.float64())),
+                    pa.array([s_part.ravel().tolist()], type=pa.list_(pa.float64())),
+                ],
+                names=["n", "s"],
+            )
 
         parts = reduce_partials(
             vecs.mapInArrow(partials, schema=schema), {"n": k, "s": k * d}

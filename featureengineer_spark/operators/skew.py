@@ -494,6 +494,70 @@ def salted_ewma(
     )
 
 
+def salted_iir(
+    df: DataFrame,
+    col: str,
+    b: Sequence[float],
+    a: Sequence[float] = (1.0,),
+    chunk_size: int = 65536,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+    tol: float = 1e-14,
+) -> DataFrame:
+    """General ARMA filter (``with_iir``) with the mega-entity path.
+
+    ``with_iir`` already collapses the IIR recursion to a convolution
+    with the driver-precomputed truncated impulse response h — a
+    BOUNDED backward-looking op of depth len(h)−1. The salted twin is
+    therefore the standard carry-in decomposition: rows in the last
+    len(h)−1 positions of each chunk are duplicated into the next chunk
+    as left context, each (entity, chunk) group convolves
+    independently, carry rows are dropped. Exactly the same truncated
+    convolution as the unsalted form. Requires contiguous ``idx_col``
+    (the engine's turn_idx invariant) and len(h)−1 ≤ chunk_size.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    from featureengineer_spark.operators.windows import (
+        _causal_conv,
+        iir_impulse_response,
+    )
+
+    h = iir_impulse_response(b, a, tol=tol)
+    depth = len(h) - 1
+    if depth > chunk_size:
+        raise ValueError(
+            f"impulse response depth {depth} exceeds chunk_size {chunk_size}; "
+            "raise chunk_size or loosen tol"
+        )
+    name = out_col or f"{col}_iir"
+    chunk = (F.col(idx_col).cast("long") / chunk_size).cast("long")
+    own = df.withColumn("__chunk", chunk).withColumn("__carry", F.lit(False))
+    carry = (
+        df.withColumn("__chunk", chunk + 1)
+        .withColumn("__carry", F.lit(True))
+        .filter(F.col(idx_col).cast("long") % chunk_size >= chunk_size - depth)
+    )
+    unioned = own.unionByName(carry) if depth > 0 else own
+    sort_cols = list(order_cols)
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(name, T.DoubleType(), True)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[col].to_numpy(dtype=np.float64, na_value=0.0)
+        pdf[name] = _causal_conv(x, h)
+        return pdf[~pdf["__carry"]].drop(columns=["__chunk", "__carry"])
+
+    return unioned.groupBy(entity_col, "__chunk").applyInPandas(fn, schema=out_schema)
+
+
 def salted_group_norm(
     df: DataFrame,
     cols: Sequence[str],

@@ -26,26 +26,37 @@ def fit_whitener(
     eigh on the driver. ``y = W @ (x - mean)`` has identity covariance.
     """
     d = len(df.select(vec_col).first()[0])
-    # per-batch numpy partials (count, Σx, ΣxxT) via mapInArrow, combined
-    # on the driver — the reference's local-accumulator + Reduce(SUM)
-    # pattern (mpiIV.py:165-214). Output is ONE tiny row per Arrow batch;
-    # nothing row-shaped ever shuffles.
+    # per-task numpy partials (count, Σx, ΣxxT) via mapInArrow —
+    # accumulated across the task's Arrow batches, combined on the driver
+    # — the reference's local-accumulator + Reduce(SUM) pattern
+    # (mpiIV.py:165-214). Output is ONE tiny row per task; nothing
+    # row-shaped ever shuffles.
     import pyarrow as pa
     from pyspark.sql import types as T2
 
     def partials(batches):
+        n_rows = 0.0
+        sx_acc = np.zeros(d)
+        sxx_acc = np.zeros((d, d))
+        seen = False
         for batch in batches:
             col = batch.column(0)
             flat = col.flatten().to_numpy(zero_copy_only=False)
             x = flat.reshape(-1, d)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([float(x.shape[0])]),
-                    pa.array([x.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
-                    pa.array([(x.T @ x).ravel().tolist()], type=pa.list_(pa.float64())),
-                ],
-                names=["n", "sx", "sxx"],
-            )
+            n_rows += float(x.shape[0])
+            sx_acc += x.sum(axis=0)
+            sxx_acc += x.T @ x
+            seen = True
+        if not seen:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n_rows]),
+                pa.array([sx_acc.tolist()], type=pa.list_(pa.float64())),
+                pa.array([sxx_acc.ravel().tolist()], type=pa.list_(pa.float64())),
+            ],
+            names=["n", "sx", "sxx"],
+        )
 
     part_schema = T2.StructType(
         [

@@ -276,6 +276,119 @@ def with_ewma(
     return df.groupBy(entity_col).applyInPandas(fn, schema=schema)
 
 
+#: The RASTA band-pass (Hermansky & Morgan, "RASTA Processing of Speech",
+#: IEEE TSAP 1994; the public rastamat coefficients): a 4-tap FIR ramp
+#: over a single-pole AR — the reference applies it per utterance
+#: (``FeaGet.py:52``, ``rasta=True``). Pole 0.94 → impulse response
+#: decays below 1e-14 within ~530 taps.
+RASTA_B = (0.2, 0.1, 0.0, -0.1, -0.2)
+RASTA_A = (1.0, -0.94)
+
+
+def iir_impulse_response(
+    b: Sequence[float],
+    a: Sequence[float] = (1.0,),
+    tol: float = 1e-14,
+    max_len: int = 1 << 20,
+):
+    """Truncated impulse response of the rational filter (b, a).
+
+    Runs ONCE on the driver (O(len) scalar recursion — never per row).
+    For a STABLE filter (all poles strictly inside the unit circle) the
+    response decays geometrically; truncation where the tail stays below
+    ``tol``·peak makes ``lfilter(b, a, x)`` equal ``conv(x, h)`` to
+    within tol·‖x‖₁ — which turns the sequential IIR recursion into a
+    fully vectorizable convolution. Raises for unstable/marginal filters
+    (no decay within ``max_len``)."""
+    import numpy as np
+
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    if a.size == 0 or a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    b, a = b / a[0], a / a[0]
+    q = a.size - 1
+    if q == 0:
+        return b.copy()
+    h: list[float] = []
+    state = np.zeros(q)
+    peak = 0.0
+    quiet_needed = max(q, 8)
+    quiet = 0
+    for t in range(max_len):
+        acc = float(b[t]) if t < b.size else 0.0
+        acc -= float(a[1:] @ state)
+        h.append(acc)
+        state[1:] = state[:-1]
+        state[0] = acc
+        peak = max(peak, abs(acc))
+        if t >= b.size - 1 and abs(acc) <= tol * max(peak, 1e-300):
+            quiet += 1
+            if quiet >= quiet_needed:
+                return np.asarray(h[: len(h) - quiet + 1])
+        else:
+            quiet = 0
+    raise ValueError(
+        f"impulse response did not decay below tol={tol} within {max_len} "
+        "samples — filter looks unstable or marginal; with_iir requires "
+        "all poles strictly inside the unit circle"
+    )
+
+
+def _causal_conv(x, h):
+    """y[t] = Σ_j h[j]·x[t−j] — direct for short products, FFT for long."""
+    import numpy as np
+
+    n = x.shape[0]
+    if n * h.shape[0] <= 1 << 22:
+        return np.convolve(x, h)[:n]
+    m = n + h.shape[0] - 1
+    nfft = 1 << (m - 1).bit_length()
+    return np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft), nfft)[:n]
+
+
+def with_iir(
+    df: DataFrame,
+    col: str,
+    b: Sequence[float],
+    a: Sequence[float] = (1.0,),
+    entity_col: str = "conv_id",
+    order_cols: Sequence[str] = ("ts", "turn_idx"),
+    out_col: str | None = None,
+    tol: float = 1e-14,
+) -> DataFrame:
+    """General per-entity ARMA (IIR) temporal filter — the full W5 graft
+    (RASTA band-pass, ``FeaGet.py:52``, ``IVector.py:258``):
+    ``a[0]·y[t] = Σᵢ b[i]·x[t−i] − Σⱼ₌₁ a[j]·y[t−j]`` with zero initial
+    state, i.e. ``scipy.signal.lfilter(b, a, x)`` semantics without the
+    scipy dependency. Pass ``RASTA_B, RASTA_A`` for the reference's
+    filter; ``with_ewma`` remains the x₀-seeded first-order special
+    case.
+
+    The filter must be stable: the recursion is replaced by one
+    C-vectorized convolution with the driver-precomputed truncated
+    impulse response per group (no per-row Python, no sequential scan).
+    Null inputs are treated as 0.0. Leakage-safe (strictly causal).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    h = iir_impulse_response(b, a, tol=tol)
+    name = out_col or f"{col}_iir"
+    fields = df.schema.fields + [T.StructField(name, T.DoubleType(), True)]
+    schema = T.StructType(fields)
+    sort_cols = list(order_cols)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[col].to_numpy(dtype=np.float64, na_value=0.0)
+        pdf[name] = _causal_conv(x, h)
+        return pdf
+
+    return df.groupBy(entity_col).applyInPandas(fn, schema=schema)
+
+
 def with_deterministic_crop(
     df: DataFrame,
     length: int,

@@ -166,6 +166,7 @@ def stream_asof_attach(
     anchor_schema,
     value_cols=None,
     available_now: bool = True,
+    persist_features: bool = True,
 ):
     """Streaming point-in-time attach: a stream of anchor events gets the
     latest feature row with ``ts <= anchor_ts`` from a static feature
@@ -176,8 +177,19 @@ def stream_asof_attach(
     runs against it; the checkpoint gives exactly-once output on
     restart). The streaming analog of the reference's trial scoring
     against a fixed enrollment model (``IVector.py:1324``).
+
+    The static feature side is persisted once (``persist_features``) so
+    every micro-batch joins against the cache instead of re-reading and
+    re-shuffling the full feature table per trigger — at production
+    feature-table sizes a per-batch rescan dominates the whole job. The
+    cache lives until the caller unpersists (the query may outlive this
+    call); pass False if the feature side is already cached or bucketed
+    on ``conv_id`` storage.
     """
     from featureengineer_spark.operators.asof import asof_join
+
+    if persist_features and not features.is_cached:
+        features = features.persist()
 
     stream = (
         spark.readStream.schema(anchor_schema)

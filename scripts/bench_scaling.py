@@ -197,6 +197,21 @@ def orchestrate() -> None:
         "what the N→4N executor criterion describes. The 32-core row shows the",
         "single-box upper bound.",
         "",
+        "## Featurize 32-core decomposition (scripts/profile_featurize.py)",
+        "",
+        "Measured at 32 pinned cores on the 14.7M-turn table (best of 2,",
+        "warm): JVM-only stat projection + local sort = **4.69 s** of the",
+        "**8.57 s** full featurize (~55%); the Arrow boundary + numpy kernel",
+        "adds ~3.9 s. A variant that replaces conv_id with a short hashed key",
+        "before the kernel runs SLOWER (10.41 s — the extra hash outweighs",
+        "the smaller strings), so string transfer is NOT the residual. Both",
+        "remaining terms are sequential memory streams (regex scan over text;",
+        "cumsum kernels), i.e. exactly the traffic the measured ~8-stream",
+        "bandwidth ceiling throttles — the 8→32 featurize gap is pinned on",
+        "hardware, not kernel overhead. (The word-count expression was also",
+        "A/B'd at 8 cores: split+size vs regexp_count are within 0.3%;",
+        "regexp_count is kept since it avoids per-row array allocation.)",
+        "",
         "## Data-size scaling",
         "",
         "See `BENCH/LADDER.md` (`scripts/bench_scale_ladder.py`): the same jobs",

@@ -193,3 +193,35 @@ def test_salted_group_norm_equals_plain(transcripts):
         plain["val_cmvn"].to_numpy(), salted["val_cmvn"].to_numpy(),
         rtol=1e-9, atol=1e-12,
     )
+
+
+def test_salted_iir_equals_plain(transcripts):
+    from featureengineer_spark.operators import RASTA_A, RASTA_B, salted_iir
+    from featureengineer_spark.operators.windows import with_iir
+
+    t = transcripts.withColumn(
+        "val", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    # loose tol keeps the impulse-response depth (len(h)-1) under the
+    # tiny test chunk_size so chunking actually engages on the mega conv
+    plain = (
+        with_iir(t, "val", RASTA_B, RASTA_A, tol=1e-6)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    salted = (
+        salted_iir(t, "val", RASTA_B, RASTA_A, tol=1e-6, chunk_size=256)
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        plain["val_iir"].to_numpy(), salted["val_iir"].to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_salted_iir_rejects_depth_over_chunk(transcripts):
+    import pytest
+
+    from featureengineer_spark.operators import RASTA_A, RASTA_B, salted_iir
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        salted_iir(transcripts, "turn_idx", RASTA_B, RASTA_A, chunk_size=64)

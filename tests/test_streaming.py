@@ -174,27 +174,54 @@ def test_stream_asof_matches_batch(spark, transcripts, tmp_path):
 
 
 def test_stream_asof_restart_no_duplicates(spark, transcripts, tmp_path):
-    """Re-running the streaming PIT attach against the same checkpoint
-    must not duplicate output (idempotent per-batch partitions)."""
+    """Three-restart sequence against one checkpoint: a no-op restart, a
+    restart with NEW anchor files (must process only the new ones), and
+    a final no-op restart — zero duplicates throughout, and the feature
+    side joins from the cache rather than rescanning per micro-batch."""
     from pyspark.sql import functions as F
 
+    from featureengineer_spark.operators import asof_join
     from featureengineer_spark.streaming.sessions import stream_asof_attach
 
     anchors = transcripts.groupBy("conv_id").agg(F.max("ts").alias("anchor_ts"))
+    first = anchors.filter(F.crc32(F.col("conv_id")) % 2 == 0).cache()
+    second = anchors.filter(F.crc32(F.col("conv_id")) % 2 == 1).cache()
     anchors_dir = str(tmp_path / "anchors")
-    anchors.repartition(4).write.mode("overwrite").parquet(anchors_dir)
+    first.repartition(4).write.mode("overwrite").parquet(anchors_dir)
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     kw = dict(
         anchor_schema="conv_id string, anchor_ts timestamp",
         value_cols=["turn_idx"],
     )
-    stream_asof_attach(spark, transcripts, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    feats = transcripts.select("conv_id", "turn_idx", "ts")
+    stream_asof_attach(spark, feats, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
     n1 = spark.read.parquet(out_dir).count()
-    stream_asof_attach(spark, transcripts, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
-    n2 = spark.read.parquet(out_dir).count()
-    assert n1 == anchors.count()
-    assert n2 == n1  # restart produced nothing new
+    assert n1 == first.count()
+
+    # restart 1: nothing new → nothing written
+    stream_asof_attach(spark, feats, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # restart 2: new anchor files land → exactly those get attached
+    second.repartition(4).write.mode("append").parquet(anchors_dir)
+    stream_asof_attach(spark, feats, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == anchors.count()
+    assert got.groupBy("conv_id", "anchor_ts").count().filter("count > 1").count() == 0
+
+    # restart 3: no-op again
+    stream_asof_attach(spark, feats, anchors_dir, out_dir, ckpt, **kw).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == anchors.count()
+
+    # feature side must be served from the cache inside each micro-batch
+    assert feats.is_cached
+    plan = asof_join(feats, first, value_cols=["turn_idx"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    feats.unpersist()
+    first.unpersist()
+    second.unpersist()
 
 
 def test_stream_sliding_windows_match_batch(spark, transcripts, tmp_path):

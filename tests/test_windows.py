@@ -151,3 +151,57 @@ def test_deterministic_crop_tiling(spark):
                 df.filter(df.conv_id == e), length
             ).toPandas()
             assert sorted(sub["turn_idx"]) == sorted(plain["turn_idx"])
+
+
+def test_with_iir_matches_naive_recursion(transcripts):
+    """with_iir (truncated-impulse-response convolution) must equal a
+    literal per-sample lfilter recursion, per entity, zero initial state
+    — the full W5 ARMA graft (RASTA band-pass, FeaGet.py:52)."""
+    import numpy as np
+
+    from featureengineer_spark.operators import RASTA_A, RASTA_B, with_iir
+
+    t = transcripts.withColumn(
+        "val", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+    got = (
+        with_iir(t, "val", RASTA_B, RASTA_A)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+    )
+
+    def lfilter_ref(b, a, x):
+        b = np.asarray(b) / a[0]
+        a = np.asarray(a) / a[0]
+        y = np.zeros(len(x))
+        for t_ in range(len(x)):
+            acc = 0.0
+            for i in range(len(b)):
+                if t_ - i >= 0:
+                    acc += b[i] * x[t_ - i]
+            for j in range(1, len(a)):
+                if t_ - j >= 0:
+                    acc -= a[j] * y[t_ - j]
+            y[t_] = acc
+        return y
+
+    for conv_id, grp in got.groupby("conv_id"):
+        exp = lfilter_ref(RASTA_B, RASTA_A, grp["val"].to_numpy())
+        np.testing.assert_allclose(
+            grp["val_iir"].to_numpy(), exp, rtol=1e-9, atol=1e-9, err_msg=conv_id
+        )
+
+
+def test_with_iir_pure_fir_and_unstable_raises(spark):
+    import numpy as np
+    import pytest
+
+    from featureengineer_spark.operators import iir_impulse_response, with_iir
+
+    # pure FIR: impulse response == b
+    np.testing.assert_array_equal(
+        iir_impulse_response([0.5, 0.25]), np.array([0.5, 0.25])
+    )
+    # unstable pole must be rejected, not silently truncated
+    with pytest.raises(ValueError, match="unstable"):
+        iir_impulse_response([1.0], [1.0, -1.01], max_len=4096)
