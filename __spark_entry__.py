@@ -794,17 +794,24 @@ def q_lda_wccn_scores(spark, sf):
 # rows-only checks (LSH internals use xxhash64 — not reproducible in DuckDB)
 
 def q_minhash_lsh(spark, sf):
+    """Banded MinHash-LSH near-dup candidates, md5-hash variant: the md5
+    prefix is bit-identical in DuckDB, so the entire shingle → minhash →
+    band → bucket-join → jaccard-estimate chain is oracle-checked."""
     from featureengineer_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf, "documents"), num_perm=64, bands=16
+        _t(spark, sf, "documents"), num_perm=64, bands=16, hash_fn="md5"
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
 def q_simhash_near_dups(spark, sf):
+    """SimHash near-dup pairs, md5-hash variant: word hashes, per-bit
+    majorities, signature assembly, and the hamming filter are all
+    replayed in DuckDB (brute-force pair scan stands in for the engine's
+    pigeonhole blocking — identical pair set by construction)."""
     from featureengineer_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8)
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8, hash_fn="md5")
 
 
 def q_ann_ivf(spark, sf):
@@ -826,6 +833,10 @@ def q_ann_ivf(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """Hyperplane-LSH ANN top-k. The hyperplanes are seed-derived, so the
+    DuckDB oracle embeds them as literal coefficients and replays the
+    sign-bit bucketing + bucket join + exact cosine re-rank bit-exactly
+    (sequential left-fold dot products in both engines)."""
     from featureengineer_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf, "embeddings").select(
@@ -834,7 +845,10 @@ def q_ann_lsh(spark, sf):
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk_lsh(emb, q, dim=64, k=5, n_planes=8)
+    out = ann_topk_lsh(emb, q, dim=64, k=5, n_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cosine")).alias("cosine")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -922,6 +936,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB replica of ``ann_topk_lsh``: the seed-derived hyperplanes
+    are embedded as literal coefficients; each dot product is an explicit
+    left-associated sum chain, matching Spark's sequential
+    ``aggregate(zip_with(...))`` fold bit-for-bit, so sign-bit buckets
+    (and therefore the candidate set) are identical."""
+    import numpy as np
+
+    sig_rows = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 1013 * t)
+        planes = rng.standard_normal((n_planes, dim))
+        bits = []
+        for i in range(n_planes):
+            dot = " + ".join(f"v[{j + 1}]*({planes[i][j]!r})" for j in range(dim))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** i} ELSE 0 END)")
+        bucket = " + ".join(bits)
+        sig_rows.append(
+            f"SELECT vec_id, v, {t} AS t, ({bucket}) AS bucket FROM emb"
+        )
+    sigs = "\n              UNION ALL\n              ".join(sig_rows)
+    return f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) > 0
+            ), sigs AS (
+              {sigs}
+            ), q AS (
+              SELECT vec_id AS query_id, t, bucket FROM sigs WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id AS neighbor_id, t, bucket FROM sigs
+            ), cand AS (
+              SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM q JOIN c ON c.t = q.t AND c.bucket = q.bucket
+              WHERE c.neighbor_id != q.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(eq.v, ec.v) AS cos
+              FROM cand
+              JOIN emb eq ON eq.vec_id = cand.query_id
+              JOIN emb ec ON ec.vec_id = cand.neighbor_id
+            ), r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM r WHERE rank <= {k}
+        """
 
 
 def _media_oracle_sql(k: int = 14) -> str:
@@ -1554,4 +1622,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 5
         """,
         "media_features": _media_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "simhash_near_dups": r"""
+            -- md5-variant SimHash replica: 60-bit word hashes, per-bit
+            -- signed majorities, sign-bit reassembly, brute-force
+            -- hamming scan (== the engine's pigeonhole-blocked join)
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS wd
+              FROM documents
+            ), h AS (
+              SELECT doc_id, ('0x' || substr(md5(wd), 1, 15))::BIGINT AS hv FROM w
+            ), grid AS (SELECT unnest(range(0, 60)) AS b),
+            bitsums AS (
+              SELECT h.doc_id, grid.b,
+                     sum(CASE WHEN (h.hv // (1::BIGINT << grid.b)) % 2 = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN grid
+              GROUP BY h.doc_id, grid.b
+            ), sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+              FROM bitsums GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        """,
+        "minhash_lsh": r"""
+            -- full MinHash-LSH replica: same normalization/shingles as
+            -- ngram_jaccard, md5-prefix 60-bit hashes (identical to the
+            -- engine's hash_fn='md5'), 64 perms, 16 bands of 4
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM w
+            ), e AS (
+              SELECT doc_id, unnest(grams) AS sh FROM g
+            ), perms AS (SELECT unnest(range(0, 64)) AS p),
+            mins AS (
+              SELECT e.doc_id, perms.p,
+                     min(('0x' || substr(md5((42 + perms.p)::VARCHAR || ':' || e.sh), 1, 15))::BIGINT) AS mh
+              FROM e CROSS JOIN perms
+              GROUP BY e.doc_id, perms.p
+            ), sig AS (
+              SELECT doc_id, list(mh ORDER BY p) AS s FROM mins GROUP BY doc_id
+            ), bandgrid AS (SELECT unnest(range(0, 16)) AS b),
+            banded AS (
+              SELECT sig.doc_id, bandgrid.b,
+                     ('0x' || substr(md5(array_to_string(sig.s[bandgrid.b*4+1 : bandgrid.b*4+4], ',')), 1, 15))::BIGINT AS bh
+              FROM sig CROSS JOIN bandgrid
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared_bands
+              FROM banded a JOIN banded b
+                ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), est AS (
+              SELECT c.id_a, c.id_b, c.n_shared_bands,
+                     sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+              FROM cand c
+              JOIN mins ma ON ma.doc_id = c.id_a
+              JOIN mins mb ON mb.doc_id = c.id_b AND mb.p = ma.p
+              GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, n_shared_bands, est_jaccard
+            FROM est WHERE est_jaccard >= 0.5
+        """,
     }

@@ -60,6 +60,22 @@ def _word_shingles(text_col: str, n: int) -> F.Column:
     )
 
 
+def _md5_long(expr: F.Column) -> F.Column:
+    """First 60 bits of md5 as a non-negative BIGINT — slower than
+    xxhash64 but byte-identical in DuckDB
+    (``('0x'||substr(md5(x),1,15))::BIGINT``), so md5-hashed operators
+    are oracle-checkable."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def _seeded_hash(seed_val: int, col: F.Column, hash_fn: str) -> F.Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed_val), col)
+    if hash_fn == "md5":
+        return _md5_long(F.concat(F.lit(f"{seed_val}:"), col))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -67,16 +83,22 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: for each of ``num_perm`` seeded hash
     functions, the min over the doc's shingles. Computed as one explode +
     one partial-aggregating groupBy (num_perm min() columns) — the
-    classic map-side-combinable formulation."""
+    classic map-side-combinable formulation. ``hash_fn='md5'`` trades
+    hash speed for a DuckDB-reproducible signature (same minima both
+    engines — used by the oracle-checked gate query)."""
     ex = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, shingle)).alias("__sh")
     )
     mins = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(seed + p), F.col("__sh"))).alias(f"mh_{p}") for p in range(num_perm)]
+        *[
+            F.min(_seeded_hash(seed + p, F.col("__sh"), hash_fn)).alias(f"mh_{p}")
+            for p in range(num_perm)
+        ]
     )
     return mins.select(
         id_col, F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("minhash")
@@ -91,6 +113,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH on MinHash.
 
@@ -100,9 +123,15 @@ def minhash_lsh_candidates(
     approximates the true near-dup pair set, not n² pairs. Returns
     (id_a, id_b, n_shared_bands, est_jaccard) with id_a < id_b;
     est_jaccard is the fraction of matching minhash positions.
+    ``hash_fn='md5'`` makes the whole candidate set DuckDB-reproducible.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle, seed)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle, seed, hash_fn)
+    band_of = (
+        (lambda j: F.xxhash64(j))
+        if hash_fn == "xxhash64"
+        else (lambda j: _md5_long(j))
+    )
     banded = sig.select(
         F.col(id_col),
         F.col("minhash"),
@@ -111,7 +140,7 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(F.array_join(F.slice("minhash", b * rows + 1, rows), ",")).alias("band_hash"),
+                    band_of(F.array_join(F.slice("minhash", b * rows + 1, rows), ",")).alias("band_hash"),
                 ),
             )
         ).alias("band"),
@@ -149,16 +178,25 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
-    Explode words → xxhash64 per word → per-bit signed counts (one
-    conditional sum per bit, map-side combinable) → reassemble sign bits.
+    Explode words → 64-bit hash per word → per-bit signed counts (one
+    conditional sum per bit, map-side combinable) → reassemble sign
+    bits. ``hash_fn='md5'`` uses the DuckDB-reproducible 60-bit md5
+    prefix (bits 60..63 always clear) so the signature — and every
+    near-dup pair derived from it — is oracle-checkable.
     """
+    word_hash = (
+        F.xxhash64("__w") if hash_fn == "xxhash64" else _md5_long(F.col("__w"))
+    )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     ex = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
-    ).select(F.col(id_col), F.xxhash64("__w").alias("__h"))
+    ).select(F.col(id_col), word_hash.alias("__h"))
     bit_sums = ex.groupBy(id_col).agg(
         *[
             F.sum(
@@ -179,6 +217,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
 
@@ -199,7 +238,7 @@ def simhash_near_dups(
             f"(got max_hamming={max_hamming}, blocks={blocks}); pairs with "
             f"{blocks}..{max_hamming} differing bits could be missed"
         )
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_fn=hash_fn)
     width = 64 // blocks
     mask = (1 << width) - 1
     chunked = sh.select(
