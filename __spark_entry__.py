@@ -564,6 +564,75 @@ def q_gmm_suff_stats(spark, sf):
     )
 
 
+def _fixed_gmm_params(k: int = 3, d: int = 64, seed: int = 5):
+    """Deterministic seed-derived diagonal GMM shared by
+    ``q_gmm_suff_stats_fixed`` and its oracle builder — no EM, so the
+    E-step arithmetic itself becomes SQL-expressible."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = np.full(k, 1.0 / k)
+    means = rng.standard_normal((k, d)) * 0.5
+    variances = rng.uniform(0.5, 2.0, (k, d))
+    return w, means, variances
+
+
+def q_gmm_suff_stats_fixed(spark, sf):
+    """Per-entity sufficient statistics under a FIXED seed-derived GMM:
+    verifies the distributed E-step kernel (responsibilities → stat0 /
+    stat1 with in-batch per-entity reduceat pre-aggregation) at value
+    level — the DuckDB oracle recomputes the softmax responsibilities
+    from literal model coefficients. (EM *training* stays pytest-gated;
+    `gmm_suff_stats` keeps the trained-model rows-only variant.)
+    Long-form output: one row per (entity, component, dimension)."""
+    from featureengineer_spark.operators.em import GMM, sufficient_stats
+
+    w, mu, var = _fixed_gmm_params()
+    model = GMM(weights=w, means=mu, variances=var)
+    d = mu.shape[1]
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("label").cast("string").alias("conv_id"),
+        F.col("embedding").cast("array<double>").alias("feature_vec"),
+    )
+    stats = sufficient_stats(emb, model)
+    comp = (F.col("idx") / d).cast("int")
+    return stats.select(
+        "conv_id", "stat0", F.posexplode("stat1").alias("idx", "s1")
+    ).select(
+        "conv_id",
+        comp.alias("comp"),
+        F.pmod(F.col("idx"), F.lit(d)).cast("int").alias("dim0"),
+        _r(F.element_at("stat0", comp + 1)).alias("stat0"),
+        _r(F.col("s1")).alias("s1"),
+    )
+
+
+def q_latent_factors_fixed(spark, sf):
+    """Per-entity latent factor under a FIXED seed-derived rank-1 TV
+    matrix over the fixed GMM's sufficient stats: at rank 1 the posterior
+    solve Λw = Tᵀs̃₁ is scalar division, so the whole extraction kernel
+    (fused whitening + batched posterior) is re-derived in DuckDB at
+    value level. (Rank>1 training/extraction stays pytest- and
+    rows-only-gated in `latent_factors`.)"""
+    import numpy as np
+
+    from featureengineer_spark.operators.em import GMM, sufficient_stats
+    from featureengineer_spark.operators.tv import TVModel, extract_latent_factors
+
+    w, mu, var = _fixed_gmm_params()
+    model = GMM(weights=w, means=mu, variances=var)
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("label").cast("string").alias("conv_id"),
+        F.col("embedding").cast("array<double>").alias("feature_vec"),
+    )
+    stats = sufficient_stats(emb, model)
+    rng = np.random.default_rng(9)
+    f_mat = rng.standard_normal((mu.size, 1)) * 0.3
+    tv = TVModel(F_mat=f_mat, ubm=model)
+    lat = extract_latent_factors(stats, tv)
+    return lat.select("conv_id", _r(F.element_at("latent", 1)).alias("w0"))
+
+
 def q_latent_factors(spark, sf):
     """Full model-training pipeline: UBM EM → per-entity sufficient stats
     → TV-matrix EM → per-entity latent factor (the reference's 5-stage
@@ -932,10 +1001,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
+        "latent_factors_fixed": q_latent_factors_fixed,
     }
 
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _gmm_stats_core_sql() -> str:
+    """Shared DuckDB CTE chain for the fixed-model GMM E-step: per-vector
+    softmax responsibilities over literal per-component linear /
+    quadratic coefficients (A = μ/σ², B = 1/σ², const folded in numpy),
+    yielding CTE ``core`` = UNROUNDED per-(entity, component, dim)
+    sufficient statistics (columns conv_id, comp, dim0, stat0, s1)."""
+    import numpy as np
+
+    w, mu, var = _fixed_gmm_params()
+    k, d = mu.shape
+    inv = 1.0 / var
+    const = (
+        np.log(w)
+        - 0.5 * (d * np.log(2 * np.pi) + np.log(var).sum(axis=1))
+        - 0.5 * np.einsum("kd,kd,kd->k", mu, mu, inv)
+    )
+    a = mu * inv
+
+    consts = ", ".join(
+        f"{_sql_list(a[c])}::DOUBLE[] AS a{c}, {_sql_list(inv[c])}::DOUBLE[] AS b{c}, "
+        f"({const[c]!r}) AS c{c}"
+        for c in range(k)
+    )
+    lg_sums = ", ".join(
+        f"c{c} + sum(ev.v * a{c}[ev.j] - 0.5 * ev.v * ev.v * b{c}[ev.j]) AS l{c}"
+        for c in range(k)
+    )
+    exp_sum = " + ".join(f"exp(l{c} - m)" for c in range(k))
+    gammas = ", ".join(f"exp(l{c} - m) / ({exp_sum}) AS g{c}" for c in range(k))
+    g_case = "CASE comps.c " + " ".join(
+        f"WHEN {c} THEN g.g{c}" for c in range(k)
+    ) + " END"
+    return f"""
+            WITH dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            consts AS (SELECT {consts}),
+            ev AS (
+              SELECT vec_id, label::VARCHAR AS conv_id, dims.j,
+                     CAST(embedding[dims.j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ), lg AS (
+              SELECT ev.vec_id, ev.conv_id, {lg_sums}
+              FROM ev CROSS JOIN consts
+              GROUP BY ev.vec_id, ev.conv_id, {", ".join(f"c{c}" for c in range(k))}
+            ), g AS (
+              SELECT vec_id, conv_id, {gammas}
+              FROM (SELECT *, greatest({", ".join(f"l{c}" for c in range(k))}) AS m FROM lg)
+            ), comps AS (SELECT unnest(range(0, {k})) AS c),
+            core AS (
+              SELECT ev.conv_id,
+                     CAST(comps.c AS INT) AS comp,
+                     CAST(ev.j - 1 AS INT) AS dim0,
+                     sum({g_case}) AS stat0,
+                     sum(({g_case}) * ev.v) AS s1
+              FROM ev
+              JOIN g ON g.vec_id = ev.vec_id
+              CROSS JOIN comps
+              GROUP BY 1, 2, 3
+            )"""
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _gmm_stats_oracle_sql() -> str:
+    return (
+        _gmm_stats_core_sql()
+        + """
+            SELECT conv_id, comp, dim0,
+                   round(stat0, 6) AS stat0, round(s1, 6) AS s1
+            FROM core
+        """
+    )
+
+
+def _latent_fixed_oracle_sql() -> str:
+    """DuckDB replica of rank-1 latent extraction over the fixed-GMM
+    stats: s̃₁ = (s₁ − N·μ)/σ per (comp, dim), b = Σ T·s̃₁,
+    Λ = 1 + Σ_c N_c·G_c (G_c = Σ_j T²_cj folded in numpy), w = b/Λ."""
+    import numpy as np
+
+    w, mu, var = _fixed_gmm_params()
+    k, d = mu.shape
+    rng = np.random.default_rng(9)
+    f_mat = rng.standard_normal((mu.size, 1)) * 0.3
+    isig = 1.0 / np.sqrt(var)
+    gram = (f_mat.reshape(k, d) ** 2).sum(axis=1)  # (k,)
+    g_case = "CASE n0.comp " + " ".join(
+        f"WHEN {c} THEN ({gram[c]!r})" for c in range(k)
+    ) + " END"
+    return (
+        _gmm_stats_core_sql()
+        + f""",
+            tvc AS (
+              SELECT {_sql_list(mu.ravel())}::DOUBLE[] AS muf,
+                     {_sql_list(isig.ravel())}::DOUBLE[] AS isig,
+                     {_sql_list(f_mat.ravel())}::DOUBLE[] AS t
+            ), whit AS (
+              SELECT core.conv_id,
+                     (core.s1 - core.stat0 * muf[core.comp * {d} + core.dim0 + 1])
+                       * isig[core.comp * {d} + core.dim0 + 1]
+                       * t[core.comp * {d} + core.dim0 + 1] AS term
+              FROM core CROSS JOIN tvc
+            ), b AS (
+              SELECT conv_id, sum(term) AS bb FROM whit GROUP BY conv_id
+            ), n0 AS (
+              SELECT conv_id, comp, max(stat0) AS nc FROM core GROUP BY 1, 2
+            ), lam AS (
+              SELECT conv_id, 1.0 + sum(nc * ({g_case})) AS lm
+              FROM n0 GROUP BY conv_id
+            )
+            SELECT b.conv_id, round(b.bb / lam.lm, 6) AS w0
+            FROM b JOIN lam ON lam.conv_id = b.conv_id
+        """
+    )
 
 
 def _ann_lsh_oracle_sql(
@@ -1623,6 +1811,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),
+        "latent_factors_fixed": _latent_fixed_oracle_sql(),
         "simhash_near_dups": r"""
             -- md5-variant SimHash replica: 60-bit word hashes, per-bit
             -- signed majorities, sign-bit reassembly, brute-force
