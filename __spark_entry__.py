@@ -883,6 +883,246 @@ def q_simhash_near_dups(spark, sf):
     return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8, hash_fn="md5")
 
 
+def _fixed_ivf_centroids(n_lists: int = 8, d: int = 64, seed: int = 21):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_lists, d)) * 0.8
+
+
+def _fixed_plda_model(d: int = 64, rank: int = 4, seed: int = 33):
+    """Seed-derived PLDA model (mean 0, random V, SPD Σ) shared by the
+    fixed-model scoring query and its oracle builder."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((d, rank)) * 0.3
+    l_mat = rng.standard_normal((d, d)) * 0.05
+    sigma = 0.5 * np.eye(d) + l_mat @ l_mat.T
+    return np.zeros(d), v, sigma
+
+
+def q_plda_scores_fixed(spark, sf):
+    """Full-matrix PLDA pair-LLR trial scoring under a FIXED seed-derived
+    model: the oracle re-derives the bilinear form INDEPENDENTLY from the
+    joint-Gaussian formulation (block inverses + slogdets), so both the
+    engine's Schur-based ``llr_matrices`` algebra and the distributed
+    bilinear kernel are value-checked. (EM-trained PLDA stays rows-only
+    in `trial_scores_plda`.)"""
+    import numpy as np
+
+    from featureengineer_spark.operators.plda import PLDAModel
+    from featureengineer_spark.operators.scoring import score_trials_plda
+
+    mean, v, sigma = _fixed_plda_model()
+    model = PLDAModel(mean=mean, v_mat=v, sigma=sigma)
+    enroll, test, trials = _trial_frames(spark, sf)
+    out = score_trials_plda(enroll, test, trials, model)
+    return out.select(
+        "enroll_id", "test_id", "is_target", _r(F.col("score")).alias("score")
+    )
+
+
+def _plda_fixed_oracle_sql(d: int = 64) -> str:
+    """Independent DuckDB derivation of the fixed-model PLDA pair LLR:
+    score = 0.5·zᵀ(S₀⁻¹−S₁⁻¹)z + 0.5·ln(|S₀|/|S₁|) with
+    S₁ = [[Σt,Σb],[Σb,Σt]], S₀ = blockdiag(Σt,Σt) — direct block
+    inverses and slogdets in numpy (no reuse of the engine's Schur
+    algebra), quadratic forms evaluated long-form in SQL."""
+    import numpy as np
+
+    _, v, sigma = _fixed_plda_model(d)
+    s_b = v @ v.T
+    s_t = s_b + sigma
+    s1 = np.block([[s_t, s_b], [s_b, s_t]])
+    s0 = np.block([[s_t, np.zeros_like(s_t)], [np.zeros_like(s_t), s_t]])
+    w_full = 0.5 * (np.linalg.inv(s0) - np.linalg.inv(s1))
+    a_mat = w_full[:d, :d]  # e'Ae + t'At coefficient (symmetric by structure)
+    b_mat = w_full[:d, d:]  # cross-term; score adds 2·e'Bt
+    const = 0.5 * (np.linalg.slogdet(s0)[1] - np.linalg.slogdet(s1)[1])
+    return f"""
+            WITH consts AS (
+              SELECT {_sql_list(a_mat.ravel())}::DOUBLE[] AS am,
+                     {_sql_list(b_mat.ravel())}::DOUBLE[] AS bm
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            ev AS (
+              SELECT vec_id, dims.j, CAST(embedding[dims.j] AS DOUBLE) AS x
+              FROM embeddings, dims
+            ), labels AS (SELECT vec_id, label FROM embeddings),
+            quad AS (  -- x'Ax per vector
+              SELECT a.vec_id,
+                     sum(a.x * am[(a.j - 1) * {d} + b.j] * b.x) AS q
+              FROM ev a JOIN ev b ON b.vec_id = a.vec_id
+              CROSS JOIN consts
+              GROUP BY a.vec_id
+            ), u AS (  -- u(e, j) = sum_i e_i B_ij
+              SELECT a.vec_id, dims.j,
+                     sum(a.x * bm[(a.j - 1) * {d} + dims.j]) AS uj
+              FROM ev a CROSS JOIN dims CROSS JOIN consts
+              GROUP BY a.vec_id, dims.j
+            ), pairs AS (
+              SELECT e.vec_id AS enroll_id, t.vec_id AS test_id,
+                     (le.label = lt.label) AS is_target
+              FROM embeddings e JOIN embeddings t
+                ON e.vec_id < 20 AND t.vec_id >= 20
+               AND (e.vec_id * 7 + t.vec_id) % 5 = 0
+              JOIN labels le ON le.vec_id = e.vec_id
+              JOIN labels lt ON lt.vec_id = t.vec_id
+            ), cross_term AS (
+              SELECT p.enroll_id, p.test_id,
+                     sum(u.uj * tv.x) AS ebt
+              FROM pairs p
+              JOIN u ON u.vec_id = p.enroll_id
+              JOIN ev tv ON tv.vec_id = p.test_id AND tv.j = u.j
+              GROUP BY 1, 2
+            )
+            SELECT p.enroll_id, p.test_id, p.is_target,
+                   round(qe.q + qt.q + 2.0 * ct.ebt + ({const!r}), 6) AS score
+            FROM pairs p
+            JOIN quad qe ON qe.vec_id = p.enroll_id
+            JOIN quad qt ON qt.vec_id = p.test_id
+            JOIN cross_term ct
+              ON ct.enroll_id = p.enroll_id AND ct.test_id = p.test_id
+        """
+
+
+def _fixed_sphnorm_params(d: int = 64, seed: int = 55):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (rng.standard_normal(d) * 0.1, rng.standard_normal((d, d)) * 0.15),
+        (rng.standard_normal(d) * 0.1, rng.standard_normal((d, d)) * 0.15),
+    ]
+
+
+def q_sphnorm_fixed(spark, sf):
+    """Two-step spherical nuisance normalization under FIXED seed-derived
+    (mean, W) parameters: value-checks the shared Arrow whitening
+    applicator (y = W(x−μ) + length-norm, chained) that both
+    ``apply_sphnorm`` and ``apply_projection`` ride on. (The iterative
+    *fitting* stays pytest-gated in `sphnorm_plda_scores`.) Long-form
+    output: one row per (vector, dimension)."""
+    from featureengineer_spark.operators.whitening import apply_sphnorm
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("feature_vec")
+    )
+    out = apply_sphnorm(emb, _fixed_sphnorm_params(), vec_col="feature_vec")
+    return out.select(
+        "vec_id", F.posexplode("feature_vec").alias("dim0", "y")
+    ).select("vec_id", "dim0", _r(F.col("y")).alias("y"))
+
+
+def _sphnorm_fixed_oracle_sql(d: int = 64) -> str:
+    """DuckDB replica of the fixed two-step sphnorm chain: per-step
+    y = W(x−μ) long-form matmul from literal coefficients, then unit
+    length-norm (zero-norm guard → 1), applied twice."""
+    params = _fixed_sphnorm_params(d)
+    (m1, w1), (m2, w2) = params
+    return f"""
+            WITH consts AS (
+              SELECT {_sql_list(m1)}::DOUBLE[] AS m1,
+                     {_sql_list(w1.ravel())}::DOUBLE[] AS w1,
+                     {_sql_list(m2)}::DOUBLE[] AS m2,
+                     {_sql_list(w2.ravel())}::DOUBLE[] AS w2
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            x AS (
+              SELECT vec_id, dims.j, CAST(embedding[dims.j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ), y1 AS (
+              SELECT x.vec_id, dims.j,
+                     sum((x.v - m1[x.j]) * w1[(dims.j - 1) * {d} + x.j]) AS v
+              FROM x CROSS JOIN dims CROSS JOIN consts
+              GROUP BY x.vec_id, dims.j
+            ), n1 AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+                          ELSE sqrt(sum(v * v)) END AS nrm
+              FROM y1 GROUP BY vec_id
+            ), y1n AS (
+              SELECT y1.vec_id, y1.j, y1.v / n1.nrm AS v
+              FROM y1 JOIN n1 ON n1.vec_id = y1.vec_id
+            ), y2 AS (
+              SELECT y1n.vec_id, dims.j,
+                     sum((y1n.v - m2[y1n.j]) * w2[(dims.j - 1) * {d} + y1n.j]) AS v
+              FROM y1n CROSS JOIN dims CROSS JOIN consts
+              GROUP BY y1n.vec_id, dims.j
+            ), n2 AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+                          ELSE sqrt(sum(v * v)) END AS nrm
+              FROM y2 GROUP BY vec_id
+            )
+            SELECT y2.vec_id, CAST(y2.j - 1 AS INT) AS dim0,
+                   round(y2.v / n2.nrm, 6) AS y
+            FROM y2 JOIN n2 ON n2.vec_id = y2.vec_id
+        """
+
+
+def q_emb_near_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs via the default OR-amplified
+    hyperplane-LSH path — seed-derived planes let the DuckDB oracle
+    replay bucketing + candidate join + exact in-bucket cosine, so the
+    scale-default dedup path (not just the brute-force baseline) is
+    value-checked."""
+    from featureengineer_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_dups(emb, threshold=0.3, n_planes=8, n_tables=6)
+    return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
+
+
+def _emb_near_dups_oracle_sql(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 6,
+    threshold: float = 0.3, seed: int = 42,
+) -> str:
+    sigs = _hyperplane_sigs_sql(dim, n_planes, n_tables, seed)
+    return f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) > 0
+            ), sigs AS (
+              {sigs}
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM sigs a JOIN sigs b
+                ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT cand.id_a, cand.id_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+            FROM cand
+            JOIN emb ea ON ea.vec_id = cand.id_a
+            JOIN emb eb ON eb.vec_id = cand.id_b
+            WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+        """
+
+
+def q_ann_ivf_fixed(spark, sf):
+    """IVF ANN search with FIXED seed-derived centroids: the coarse
+    quantizer assignment (argmin of cn² − 2·x·cᵀ, ties to lowest list),
+    n_probe candidate join, and exact cosine re-rank are all replayed in
+    DuckDB from literal centroid coefficients — value-checks the whole
+    search path. (k-means *training* stays pytest-gated; `ann_ivf` keeps
+    the trained-quantizer rows-only variant.)"""
+    from featureengineer_spark.operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_ivf(
+        emb, q, k=5, n_lists=8, n_probe=3, centroids=_fixed_ivf_centroids()
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", _r(F.col("cosine")).alias("cosine")
+    )
+
+
 def q_ann_ivf(spark, sf):
     """IVF ANN: distributed k-means inverted lists + n_probe exact
     re-rank (the scale path alternative to LSH). Iterative k-means →
@@ -1003,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
         "latent_factors_fixed": q_latent_factors_fixed,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
+        "emb_near_dups": q_emb_near_dups,
+        "plda_scores_fixed": q_plda_scores_fixed,
+        "sphnorm_fixed": q_sphnorm_fixed,
     }
 
 
@@ -1126,14 +1370,71 @@ def _latent_fixed_oracle_sql() -> str:
     )
 
 
-def _ann_lsh_oracle_sql(
-    dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int = 5, seed: int = 42
+def _ann_ivf_oracle_sql(
+    n_lists: int = 8, n_probe: int = 3, k: int = 5, d: int = 64
 ) -> str:
-    """DuckDB replica of ``ann_topk_lsh``: the seed-derived hyperplanes
-    are embedded as literal coefficients; each dot product is an explicit
-    left-associated sum chain, matching Spark's sequential
-    ``aggregate(zip_with(...))`` fold bit-for-bit, so sign-bit buckets
-    (and therefore the candidate set) are identical."""
+    """DuckDB replica of fixed-centroid IVF search: per-vector distance
+    d²(c) = ‖c‖² − 2·x·cᵀ from literal centroids (‖c‖² folded in numpy,
+    matching the kernel's broadcast constant), stable argmin / top-n_probe
+    by (d², list), equi join on list id, exact cosine re-rank."""
+    import numpy as np
+
+    cents = _fixed_ivf_centroids(n_lists, d)
+    cn2 = (cents * cents).sum(axis=1)
+    return f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) > 0
+            ), consts AS (
+              SELECT {_sql_list(cents.ravel())}::DOUBLE[] AS cm,
+                     {_sql_list(cn2)}::DOUBLE[] AS cn2
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            lists AS (SELECT unnest(range(0, {n_lists})) AS c),
+            d2 AS (
+              SELECT emb.vec_id, lists.c,
+                     cn2[lists.c + 1]
+                       - 2.0 * (SELECT sum(v[dims.j] * cm[lists.c * {d} + dims.j])
+                                FROM dims) AS dist
+              FROM emb CROSS JOIN lists CROSS JOIN consts
+            ), ranked AS (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist ASC, c ASC) AS r
+              FROM d2
+            ), c_assign AS (
+              SELECT vec_id AS neighbor_id, c AS list_id FROM ranked WHERE r = 1
+            ), q_assign AS (
+              SELECT vec_id AS query_id, c AS list_id FROM ranked
+              WHERE r <= {n_probe} AND vec_id < 10
+            ), cand AS (
+              SELECT DISTINCT q.query_id, c.neighbor_id
+              FROM q_assign q JOIN c_assign c ON c.list_id = q.list_id
+              WHERE c.neighbor_id != q.query_id
+            ), scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(eq.v, ec.v) AS cos
+              FROM cand
+              JOIN emb eq ON eq.vec_id = cand.query_id
+              JOIN emb ec ON ec.vec_id = cand.neighbor_id
+            ), rr AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+            FROM rr WHERE rank <= {k}
+        """
+
+
+def _hyperplane_sigs_sql(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> str:
+    """UNION ALL block yielding (vec_id, v, t, bucket) sign-bit LSH rows
+    from literal seed-derived hyperplanes — each dot product is an
+    explicit left-associated sum chain, matching Spark's sequential
+    ``aggregate(zip_with(...))`` fold bit-for-bit, so the buckets (and
+    therefore any candidate set built on them) are identical."""
     import numpy as np
 
     sig_rows = []
@@ -1148,7 +1449,15 @@ def _ann_lsh_oracle_sql(
         sig_rows.append(
             f"SELECT vec_id, v, {t} AS t, ({bucket}) AS bucket FROM emb"
         )
-    sigs = "\n              UNION ALL\n              ".join(sig_rows)
+    return "\n              UNION ALL\n              ".join(sig_rows)
+
+
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB replica of ``ann_topk_lsh`` built on literal hyperplanes
+    (see ``_hyperplane_sigs_sql``): bucket join + exact cosine re-rank."""
+    sigs = _hyperplane_sigs_sql(dim, n_planes, n_tables, seed)
     return f"""
             WITH emb AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1813,6 +2122,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(),
         "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),
         "latent_factors_fixed": _latent_fixed_oracle_sql(),
+        "ann_ivf_fixed": _ann_ivf_oracle_sql(),
+        "emb_near_dups": _emb_near_dups_oracle_sql(),
+        "plda_scores_fixed": _plda_fixed_oracle_sql(),
+        "sphnorm_fixed": _sphnorm_fixed_oracle_sql(),
         "simhash_near_dups": r"""
             -- md5-variant SimHash replica: 60-bit word hashes, per-bit
             -- signed majorities, sign-bit reassembly, brute-force
