@@ -29,6 +29,7 @@ def write_transcripts_partitioned(
     path: str,
     conv_buckets: int = 16,
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
     """Write the transcript table in Iceberg layout: day × conv-bucket.
 
@@ -36,17 +37,21 @@ def write_transcripts_partitioned(
     ``conv_bucket = pmod(xxhash64(conv_id), N)`` co-locates each
     conversation so per-conversation stages can prune to one bucket and
     as-of joins can use storage-partitioned joins on a real Iceberg
-    catalog."""
+    catalog. ``file_format`` may be ``parquet`` (default) or ``orc`` —
+    both columnar formats Iceberg supports; the layout, pruning, and
+    downstream plans are format-agnostic."""
     out = df.withColumn("ts_day", F.date_trunc("day", F.col("ts")).cast("date")).withColumn(
         "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(conv_buckets)).cast("int")
     )
-    out.write.mode(mode).partitionBy("ts_day", "conv_bucket").parquet(path)
+    out.write.mode(mode).partitionBy("ts_day", "conv_bucket").format(file_format).save(path)
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def read_transcripts(
+    spark: SparkSession, path: str, file_format: str = "parquet"
+) -> DataFrame:
     """Scan the partitioned transcript store, dropping the physical
     partition columns (they are derivable)."""
-    return spark.read.parquet(path).drop("ts_day", "conv_bucket")
+    return spark.read.format(file_format).load(path).drop("ts_day", "conv_bucket")
 
 
 def compact_small_files(
@@ -54,14 +59,15 @@ def compact_small_files(
     in_path: str,
     out_path: str,
     target_files: int,
+    file_format: str = "parquet",
 ) -> int:
-    """Small-file compaction: many small parquet files → ``target_files``
-    larger ones (the reference consolidates 10,000 HDF5 files per output,
+    """Small-file compaction: many small files → ``target_files`` larger
+    ones (the reference consolidates 10,000 HDF5 files per output,
     ``DataInteger.py:150-165``; Iceberg's ``rewrite_data_files`` is the
     managed equivalent). Returns rows written."""
-    df = spark.read.parquet(in_path)
-    df.repartition(target_files).write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path).count()
+    df = spark.read.format(file_format).load(in_path)
+    df.repartition(target_files).write.mode("overwrite").format(file_format).save(out_path)
+    return spark.read.format(file_format).load(out_path).count()
 
 
 def read_csv_spine(

@@ -107,3 +107,26 @@ def test_fixed_width_binary_roundtrip(spark, tmp_path):
         sub = out[out["path"].str.endswith(path.split("/")[-1])].sort_values("frame_idx")
         got = np.vstack(sub["frame"].to_numpy())
         np.testing.assert_allclose(got, mat, rtol=1e-7)
+
+
+def test_orc_store_roundtrip_and_pruning(spark, transcripts, transcripts_pdf, tmp_path):
+    """The Iceberg-layout store is format-agnostic: the ORC path must
+    roundtrip identically and prune partitions just like parquet."""
+    path = str(tmp_path / "store_orc")
+    write_transcripts_partitioned(transcripts, path, conv_buckets=8, file_format="orc")
+
+    back = read_transcripts(spark, path, file_format="orc")
+    a = back.toPandas().sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    b = transcripts_pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+    pruned = spark.read.orc(path).filter(F.col("ts_day") == "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ts_day" in plan
+
+    # compaction works over ORC too
+    big = str(tmp_path / "orc_compact")
+    n = compact_small_files(spark, path, big, target_files=3, file_format="orc")
+    assert n == transcripts.count()
