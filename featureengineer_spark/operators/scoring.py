@@ -99,7 +99,7 @@ def score_trials_mahalanobis(
         a = np.vstack(ev.to_numpy())
         b = np.vstack(tv.to_numpy())
         diff = a - b
-        return pd.Series(-np.einsum("ij,jk,ik->i", diff, m, diff))
+        return pd.Series(-((diff @ m) * diff).sum(axis=1))
 
     _score = F.pandas_udf(_score_fn, T.DoubleType())
     return (
@@ -148,10 +148,12 @@ def score_trials_bilinear(
         qm, pm, c0, mu = b.value
         x1 = np.vstack(ev.to_numpy()) - mu
         x2 = np.vstack(tv.to_numpy()) - mu
+        # quadratic forms as GEMM + rowwise dot (BLAS-dispatched; the
+        # 3-operand einsum falls back to a generic loop)
         s = (
-            np.einsum("ij,jk,ik->i", x1, qm, x1)
-            + np.einsum("ij,jk,ik->i", x2, qm, x2)
-            + 2.0 * np.einsum("ij,jk,ik->i", x1, pm, x2)
+            ((x1 @ qm) * x1).sum(axis=1)
+            + ((x2 @ qm) * x2).sum(axis=1)
+            + 2.0 * ((x1 @ pm) * x2).sum(axis=1)
             + c0
         )
         return pd.Series(s)
