@@ -333,7 +333,7 @@ def train_plda(
                 f_c = batch.column(1).flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
                 prec = np.eye(r) + nc[:, None, None] * g  # (c, r, r)
                 cov = np.linalg.inv(prec)
-                h = np.einsum("crs,cs->cr", cov, f_c @ vt_si.T)
+                h = np.matmul(cov, (f_c @ vt_si.T)[:, :, None])[:, :, 0]
                 r1 += f_c.T @ h  # (d, r)
                 r2 += (cov * nc[:, None, None]).sum(axis=0) + (h * nc[:, None]).T @ h
                 seen = True

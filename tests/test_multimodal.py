@@ -148,3 +148,26 @@ def test_resize_media_updates_meta_and_shrinks(spark):
     aud = out[2]
     assert aud["meta"]["sample_rate"] == 16000  # non-image untouched
     assert bytes(aud["content"]) == b"\x01\x02" * 100
+
+
+def test_chunk_means_adversarial_lengths():
+    """Every payload length 0..3k+1 must match per-row array_split means
+    exactly — the reduceat boundary bug class (empty trailing segments,
+    sentinel clipping) lives at these edges."""
+    import numpy as np
+
+    from featureengineer_spark.operators.multimodal import _chunk_means
+
+    k = 14
+    rng = np.random.default_rng(0)
+    payloads = [rng.integers(0, 256, size=n).astype(np.uint8) for n in range(0, 3 * k + 2)]
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    data = np.concatenate(payloads) if lens.sum() else np.empty(0, np.uint8)
+    got = _chunk_means(offsets, data, k)
+    for i, p in enumerate(payloads):
+        exp = np.zeros(k)
+        if len(p):
+            for j, c in enumerate(np.array_split(p.astype(np.float64), k)):
+                exp[j] = c.mean() if len(c) else 0.0
+        np.testing.assert_allclose(got[i], exp, rtol=0, atol=1e-12, err_msg=f"len={len(p)}")
