@@ -1183,8 +1183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "backfill": q_backfill,
-        "cumulative": q_cumulative,
-        "delta": q_delta,
         "sliding_norm": q_sliding_norm,
         "group_norm": q_group_norm,
         "group_norm_scaled": q_group_norm_scaled,
@@ -1193,13 +1191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "join_rollup": q_join_rollup,
         "anti_join": q_anti_join,
-        "dedup_keep_min": q_dedup_keep_min,
         "union_distinct": q_union_distinct,
         "filters": q_filters,
         "left_join": q_left_join,
         "except_all": q_except_all,
         "count_distinct": q_count_distinct,
-        "top1_per_user": q_top1_per_user,
         "deterministic_crop": q_deterministic_crop,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -1212,7 +1208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_curve": q_det_curve,
         "interval_session_lookup": q_interval_session_lookup,
         "holdout_split": q_holdout_split,
-        "tumbling_windows": q_tumbling_windows,
         "multikey_join": q_multikey_join,
         "right_join": q_right_join,
         "map_lookup": q_map_lookup,
@@ -1225,28 +1220,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_dcf": q_min_dcf,
         "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
-        "trial_scores_maha_diag": q_trial_scores_maha_diag,
         "trial_scores_2cov": q_trial_scores_2cov,
-        # --- entries 51+ sit past the driver's 50-query window: first the
-        # one oracle-backed overflow (crop_tiled, driver-green in r02; its
-        # oracle still runs via scripts/check_oracle.py), then the
-        # genuinely rows-only queries (iterative EM / xxhash contracts).
+        "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
+        "latent_factors_fixed": q_latent_factors_fixed,
+        "plda_scores_fixed": q_plda_scores_fixed,
+        "sphnorm_fixed": q_sphnorm_fixed,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
+        "minhash_lsh": q_minhash_lsh,
+        # --- entries 51+ sit past the driver's 50-query window. The
+        # window holds one oracle-backed query per SURVEY §2 row family,
+        # preferring the model-back-end / hash-chain queries the fixed-
+        # model oracles unlocked; displaced duplicates (their §2 rows
+        # remain covered by in-window siblings, and each already has a
+        # green driver row on record) come first, then the genuinely
+        # rows-only trained/iterative variants. scripts/check_oracle.py
+        # still value-checks every oracle-backed entry, window or tail.
+        "cumulative": q_cumulative,
+        "delta": q_delta,
+        "dedup_keep_min": q_dedup_keep_min,
+        "top1_per_user": q_top1_per_user,
+        "tumbling_windows": q_tumbling_windows,
+        "trial_scores_maha_diag": q_trial_scores_maha_diag,
         "crop_tiled": q_crop_tiled,
         "sphnorm_plda_scores": q_sphnorm_plda_scores,
         "trial_scores_plda": q_trial_scores_plda,
         "lda_wccn_scores": q_lda_wccn_scores,
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
-        "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
-        "latent_factors_fixed": q_latent_factors_fixed,
-        "ann_ivf_fixed": q_ann_ivf_fixed,
         "emb_near_dups": q_emb_near_dups,
-        "plda_scores_fixed": q_plda_scores_fixed,
-        "sphnorm_fixed": q_sphnorm_fixed,
     }
 
 
