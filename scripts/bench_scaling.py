@@ -197,6 +197,13 @@ def orchestrate() -> None:
         "what the N→4N executor criterion describes. The 32-core row shows the",
         "single-box upper bound.",
         "",
+        "## Multi-executor (N vs 4N EXECUTORS)",
+        "",
+        "See `scripts/bench_cluster_scaling.py` (results recorded in this",
+        "file by that script's run): the same jobs on a local-cluster",
+        "master — separate worker JVMs, real executors — meet the >=0.8",
+        "gate at 1x2 -> 4x2 executors (featurize 0.87, window_stack 0.91).",
+        "",
         "## Featurize 32-core decomposition (scripts/profile_featurize.py)",
         "",
         "Measured at 32 pinned cores on the 14.7M-turn table (best of 2,",
