@@ -127,3 +127,34 @@ def test_window_stack_bucketed_zero_exchange(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b[a.columns])
     spark.sql("DROP TABLE IF EXISTS plans_bucketed")
     spark.sql("DROP TABLE IF EXISTS plans_bucketed_build")
+
+
+def test_lsh_and_ivf_candidate_joins_never_cartesian(spark):
+    """The scale-default approximate paths must bucket, not cross: no
+    CartesianProduct / BroadcastNestedLoopJoin in the candidate plans."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from featureengineer_spark.operators.dedup import embedding_near_dups
+    from featureengineer_spark.operators.similarity import ann_topk_ivf
+
+    rng = np.random.default_rng(5)
+    rows = [(i, (rng.standard_normal(16)).tolist()) for i in range(64)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema).cache()
+
+    plan = _plan(embedding_near_dups(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    q = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = rng.standard_normal((4, 16))
+    plan = _plan(ann_topk_ivf(emb, q, k=3, n_lists=4, centroids=cents))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
