@@ -145,3 +145,67 @@ def test_ivector_pipeline_end_to_end_and_resume(spark, tmp_path):
     # manifest audit: all five stages committed and consistent
     report = pipe3.validate()
     assert all(v["status"] == "ok" for v in report.values()), report
+
+
+def test_ivector_pipeline_survives_sigkill(spark, tmp_path):
+    """Hard-kill resume: a subprocess running the 5-stage pipeline is
+    SIGKILLed mid-flight (no cleanup, possibly torn in-progress stage
+    output); a resumed run must complete, re-executing only what the
+    manifests do not attest, and produce EXACTLY the latents of an
+    untouched fresh run — torn data must never be served as a
+    checkpoint (manifests commit only after their stage's data)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    import numpy as np
+
+    from featureengineer_spark.data import synth_transcripts_spark
+    from featureengineer_spark.plans.ivector import IVectorConfig, IVectorPipeline
+
+    root = str(tmp_path / "iv_kill")
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr(os.getcwd())})
+        from featureengineer_spark import get_spark
+        from featureengineer_spark.data import synth_transcripts_spark
+        from featureengineer_spark.plans.ivector import IVectorConfig, IVectorPipeline
+        spark = get_spark(master="local[4]")
+        t = synth_transcripts_spark(spark, n_convs=400, seed=3)
+        cfg = IVectorConfig(n_components=4, ubm_iters_per_stage=2, tv_rank=3, tv_iters=2)
+        IVectorPipeline(spark, {repr(root)}, cfg).run(t).count()
+        print("COMPLETED", flush=True)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    time.sleep(25)  # mid-flight for this config on this box
+    killed = proc.poll() is None
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    cfg = IVectorConfig(n_components=4, ubm_iters_per_stage=2, tv_rank=3, tv_iters=2)
+    t = synth_transcripts_spark(spark, n_convs=400, seed=3)
+    pipe = IVectorPipeline(spark, root, cfg)
+    out = pipe.run(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert len(out) == 400
+    stage_order = ["features", "ubm", "stats", "tv", "latent"]
+    assert pipe.executed == stage_order[len(stage_order) - len(pipe.executed):]
+    if killed:  # the kill landed mid-run → something was left to redo
+        assert pipe.executed, "kill landed mid-run but resume re-executed nothing"
+    report = pipe.validate()
+    assert all(v["status"] == "ok" for v in report.values()), report
+
+    fresh = (
+        IVectorPipeline(spark, str(tmp_path / "iv_fresh"), cfg)
+        .run(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        np.vstack(out["latent"].to_numpy()),
+        np.vstack(fresh["latent"].to_numpy()),
+        rtol=1e-9, atol=1e-12,
+    )
