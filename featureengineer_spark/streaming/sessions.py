@@ -221,6 +221,66 @@ def stream_asof_attach(
     return writer.start()
 
 
+def stream_stream_asof(
+    features: DataFrame,
+    anchors: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "30 minutes",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    anchor_ts_col: str = "anchor_ts",
+    tie_col: str = "turn_idx",
+    value_cols=("turn_idx",),
+) -> DataFrame:
+    """Stream-STREAM bounded-lookback point-in-time join: both the
+    feature turns and the anchors arrive as streams; each anchor gets
+    the latest feature row with
+    ``anchor_ts − lookback ≤ ts ≤ anchor_ts`` for its entity.
+
+    Two chained stateful operators, both watermark-bounded state:
+    (1) a stream-stream inner join on the entity key with an event-time
+    range condition — the lookback bound is what makes the join state
+    finite, the streaming form of the as-of operator's leakage bound
+    (`ts <= anchor_ts` is part of the join condition, so no future
+    feature can ever attach); (2) an append-mode aggregation keyed on
+    (entity, anchor event-time) taking ``max_by`` over (ts, tie) — the
+    batch operator's latest-row tie discipline. Anchors with no feature
+    inside the lookback window emit nothing (inner-join semantics; the
+    unbounded-history variant is the foreachBatch ``stream_asof_attach``).
+    """
+    f = features.select(
+        F.col(entity_col).alias("__f_ent"),
+        F.col(ts_col).alias("__f_ts"),
+        (
+            F.col(tie_col).cast("long")
+            if tie_col in features.columns
+            else F.lit(0).cast("long")
+        ).alias("__f_tie"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    ).withWatermark("__f_ts", watermark)
+    a = anchors.select(
+        F.col(entity_col), F.col(anchor_ts_col)
+    ).withWatermark(anchor_ts_col, watermark)
+
+    joined = a.join(
+        f,
+        (F.col(entity_col) == F.col("__f_ent"))
+        & (F.col("__f_ts") <= F.col(anchor_ts_col))
+        & (F.col("__f_ts") >= F.col(anchor_ts_col) - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )
+    picked = joined.groupBy(entity_col, anchor_ts_col).agg(
+        F.max_by(
+            F.struct(
+                F.col("__f_ts").alias("matched_ts"),
+                *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+            ),
+            F.struct(F.col("__f_ts"), F.col("__f_tie")),
+        ).alias("__m")
+    )
+    return picked.select(entity_col, anchor_ts_col, "__m.*")
+
+
 def stream_sliding_activity(
     stream: DataFrame,
     window: str = "10 minutes",

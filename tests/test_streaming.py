@@ -284,3 +284,71 @@ def test_stream_sliding_windows_match_batch(spark, transcripts, tmp_path):
     pd.testing.assert_series_equal(
         merged["assistant_turns"], merged["assistant_turns_exp"], check_names=False
     )
+
+
+def test_stream_stream_asof_matches_batch(spark, transcripts, tmp_path):
+    """Both sides streaming: the bounded-lookback PIT join (stream-stream
+    join + max_by aggregation, two chained stateful operators) must equal
+    the batch formulation of the same semantics, with zero leakage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_stream_asof
+
+    feat_dir = str(tmp_path / "feat")
+    anch_dir = str(tmp_path / "anch")
+    # sentinels 30 days ahead advance BOTH watermarks past every real
+    # event so append mode emits all groups before the availableNow
+    # drain stops; the sentinel entity has no anchors and the sentinel
+    # anchor no nearby features, so neither produces output rows
+    far = transcripts.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    sent_feat = far.select(
+        F.lit("__sentinel").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.lit("system").alias("role"), F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("tool"), "ts",
+    )
+    transcripts.unionByName(sent_feat).repartition(6).write.mode("overwrite").parquet(feat_dir)
+    anchors = transcripts.groupBy("conv_id").agg(F.max("ts").alias("anchor_ts"))
+    sent_anch = far.select(
+        F.lit("__sentinel_a").alias("conv_id"), F.col("ts").alias("anchor_ts")
+    )
+    anchors.unionByName(sent_anch).repartition(4).write.mode("overwrite").parquet(anch_dir)
+
+    f_schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    f_stream = spark.readStream.schema(f_schema).option("maxFilesPerTrigger", 3).parquet(feat_dir)
+    a_stream = spark.readStream.schema("conv_id string, anchor_ts timestamp").parquet(anch_dir)
+
+    out = stream_stream_asof(
+        f_stream, a_stream, lookback="2 hours", watermark="10 minutes",
+        value_cols=("turn_idx", "role"),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_asof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("ss_asof").toPandas()
+        .sort_values(["conv_id", "anchor_ts"]).reset_index(drop=True)
+    )
+
+    # batch formulation of the identical bounded-lookback semantics
+    exp = spark.sql(f"""
+        SELECT conv_id, anchor_ts, m.* FROM (
+          SELECT a.conv_id, a.anchor_ts,
+                 max_by(struct(f.ts AS matched_ts, f.turn_idx, f.role),
+                        struct(f.ts, f.turn_idx)) AS m
+          FROM parquet.`{anch_dir}` a
+          JOIN parquet.`{feat_dir}` f
+            ON f.conv_id = a.conv_id
+           AND f.ts <= a.anchor_ts
+           AND f.ts >= a.anchor_ts - INTERVAL 2 HOURS
+          GROUP BY a.conv_id, a.anchor_ts
+        )
+    """).toPandas().sort_values(["conv_id", "anchor_ts"]).reset_index(drop=True)
+    # name the struct-expanded columns consistently
+    exp.columns = ["conv_id", "anchor_ts", "matched_ts", "turn_idx", "role"]
+
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert (got["matched_ts"] <= got["anchor_ts"]).all()  # zero leakage
