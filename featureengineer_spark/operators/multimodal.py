@@ -317,23 +317,31 @@ def resize_media(
         "content",
         new_meta.alias("meta"),
         src_area.alias("_src_area"),
+        # ORIGINAL dims ride separately: `meta` above is already rewritten
+        # to the target dims, so a codec scaling by source area must not
+        # read them from there.
+        F.col("meta.width").alias("_src_w"),
+        F.col("meta.height").alias("_src_h"),
     )
     target_area = float(target_width * target_height)
 
     if resize_fn is not None:
         # Custom codec path: per-item by nature (the codec's own loop).
+        # Invoked ONLY on image rows with a payload — a real codec cannot
+        # parse audio/video/null content.
         def fn_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                is_image = pdf["modality"].to_numpy() == "image"
-                w0 = pdf["meta"].map(lambda m: (m or {}).get("width"))
-                h0 = pdf["meta"].map(lambda m: (m or {}).get("height"))
-                resized = pd.Series(
-                    map(resize_fn, pdf["content"], w0, h0), index=pdf.index
-                )
-                out = pdf.drop(columns=["_src_area"]).copy()
-                out["content"] = resized.where(pd.Series(is_image, pdf.index), pdf["content"])
+                is_image = (pdf["modality"] == "image") & pdf["content"].notna()
+                out = pdf.drop(columns=["_src_area", "_src_w", "_src_h"]).copy()
+                if is_image.any():
+                    sub = pdf[is_image]
+                    resized = pd.Series(
+                        map(resize_fn, sub["content"], sub["_src_w"], sub["_src_h"]),
+                        index=sub.index,
+                    )
+                    out.loc[is_image, "content"] = resized
                 yield out
 
         return prepped.mapInPandas(fn_pandas, schema=MEDIA_SCHEMA)

@@ -25,17 +25,28 @@ DEFAULT_MAX_BROADCAST_ROWS = 100_000
 
 
 def _broadcast_if_small(
-    q: DataFrame, broadcast: bool | None, max_rows: int
+    q: DataFrame,
+    broadcast: bool | None,
+    max_rows: int,
+    count_on: DataFrame | None = None,
+    fanout: int = 1,
 ) -> DataFrame:
     """Broadcast-hint the probe side only when it is actually small.
 
     The probe-style contract (|Q| ≪ |C|) wants a broadcast; an
     all-pairs-shaped call (Q = corpus, e.g. full-corpus ANN dedup) must
     NOT broadcast the corpus at itself. ``broadcast=None`` decides with
-    a limit-bounded count (reads at most ``max_rows``+1 rows, never a
-    full scan of a huge query side); pass True/False to force."""
+    a limit-bounded count — an EAGER Spark job at plan-construction time
+    that reads at most ``max_rows``+1 rows, never a full scan of a huge
+    query side; pass True/False to force and skip the probe job.
+    ``count_on`` lets the caller supply a cheaper frame to count (e.g.
+    the raw query table before a UDF/explode projection) together with a
+    per-row ``fanout`` multiplier, so the probe job never executes the
+    expensive projection."""
     if broadcast is None:
-        broadcast = q.limit(max_rows + 1).count() <= max_rows
+        probe = q if count_on is None else count_on
+        cap = max(max_rows // max(fanout, 1), 1)
+        broadcast = probe.limit(cap + 1).count() <= cap
     return F.broadcast(q) if broadcast else q
 
 
@@ -239,7 +250,9 @@ def ann_topk_ivf(
             c = b_c.value
             x = np.vstack(v.to_numpy())
             d2 = (c * c).sum(axis=1) - 2.0 * (x @ c.T)
-            idx = np.argsort(d2, axis=1)[:, :n_top]
+            # stable: exact distance ties resolve to the lowest list id,
+            # matching the oracle's ORDER BY dist ASC, c ASC
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_top]
             return pd.Series(list(idx.astype(np.int32)))
 
         return F.pandas_udf(fn, T.ArrayType(T.IntegerType()))
@@ -256,7 +269,12 @@ def ann_topk_ivf(
         F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    q = _broadcast_if_small(q, broadcast_queries, max_broadcast_rows)
+    # decide broadcast from the RAW query table (fanout = n_probe), so the
+    # probe job never runs the centroid-assignment UDF
+    q = _broadcast_if_small(
+        q, broadcast_queries, max_broadcast_rows,
+        count_on=queries, fanout=n_probe,
+    )
     pairs = c.join(q, on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )
@@ -341,7 +359,10 @@ def ann_topk_lsh(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
         dim, n_planes, n_tables, "__qv", seed,
     ).withColumn("__qn", _norm("__qv")).filter(F.col("__qn") > 0)
-    q = _broadcast_if_small(q, broadcast_queries, max_broadcast_rows)
+    q = _broadcast_if_small(
+        q, broadcast_queries, max_broadcast_rows,
+        count_on=queries, fanout=n_tables,
+    )
     pairs = (
         c.join(q, on=["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))

@@ -150,6 +150,35 @@ def test_resize_media_updates_meta_and_shrinks(spark):
     assert bytes(aud["content"]) == b"\x01\x02" * 100
 
 
+def test_resize_fn_gets_source_dims_and_only_image_rows(spark):
+    """Custom-codec regression: resize_fn must receive the ORIGINAL
+    width/height (meta is rewritten to target dims before the batch),
+    and must never be invoked on audio/video/null-content rows."""
+    from featureengineer_spark.operators.multimodal import MEDIA_SCHEMA, resize_media
+
+    rows = [
+        (1, "image", b"\xaa" * 100, (64, 48, None, None, "image/raw")),
+        (2, "audio", b"\x01\x02" * 50, (None, None, 16000, None, "audio/raw")),
+        (3, "image", None, (10, 10, None, None, "image/raw")),
+        (4, "video", b"\x07" * 30, (320, 240, None, 100, "video/raw")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def fake_codec(buf, w0, h0):
+        # a codec that scales by source area; blows up on non-image input
+        assert buf is not None and w0 is not None and h0 is not None
+        return bytes([int(w0) % 256, int(h0) % 256]) + bytes(buf[:4])
+
+    out = {r["media_id"]: r for r in resize_media(df, 32, 32, resize_fn=fake_codec).collect()}
+    # image row: codec saw SOURCE dims (64, 48), not target (32, 32)
+    assert bytes(out[1]["content"])[:2] == bytes([64, 48])
+    assert out[1]["meta"]["width"] == 32 and out[1]["meta"]["height"] == 32
+    # audio/video/null rows pass through untouched, codec never called on them
+    assert bytes(out[2]["content"]) == b"\x01\x02" * 50
+    assert out[3]["content"] is None
+    assert bytes(out[4]["content"]) == b"\x07" * 30
+
+
 def test_chunk_means_adversarial_lengths():
     """Every payload length 0..3k+1 must match per-row array_split means
     exactly — the reduceat boundary bug class (empty trailing segments,
