@@ -698,6 +698,63 @@ def q_media_features(spark, sf):
     )
 
 
+def q_media_features_real(spark, sf):
+    """REAL media decode through the gate: deterministic WAV-PCM16 (odd
+    ids) and binary PGM (even ids) payloads are synthesized per doc_id,
+    then decoded by the pure-numpy RIFF/netpbm parsers
+    (``real_decode_features``) and reduced to the 14 chunk means over the
+    DECODED sample/pixel values. The sample formulas are SQL-re-derivable,
+    so the DuckDB oracle regenerates the decoded values directly — if the
+    WAV/PGM writer↔parser roundtrip were wrong anywhere, every chunk mean
+    would mismatch. Closes SURVEY §2 S3 (was: decode stubbed)."""
+    import pandas as pd
+
+    from featureengineer_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode_features,
+        synth_pgm,
+        synth_wav_pcm16,
+    )
+
+    def _gen(mid):
+        out = []
+        for m in mid:
+            m = int(m)
+            if m % 2:
+                out.append(synth_wav_pcm16(m, m % 977 + 10))
+            else:
+                out.append(synth_pgm(m, m % 37 + 1, m % 23 + 1))
+        return pd.Series(out)
+
+    gen_payload = F.pandas_udf(_gen, "binary")
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("audio"))
+        .otherwise(F.lit("image"))
+        .alias("modality"),
+        gen_payload(F.col("doc_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("string").alias("mime"),
+        ).alias("meta"),
+    )
+    out = extract_media_features(media, decode_fn=real_decode_features)
+    return out.select(
+        "media_id",
+        "modality",
+        F.element_at("feature_vec", 15).alias("n_values"),
+        *[
+            F.round(F.element_at("feature_vec", i + 1), 6).alias(f"c{i}")
+            for i in range(14)
+        ],
+        F.element_at("feature_vec", 16).alias("mod_code"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-duplicate clusters: connected components (min-label
     propagation) over the n-gram Jaccard pair graph — the step that turns
@@ -1176,10 +1233,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-4 window ROTATION (see COVERAGE.md): the driver certifies only
+    # the first 50 entries, so the 10 oracle-backed queries that had only
+    # local verification (cumulative … emb_near_dups) plus the new
+    # media_features_real move INTO the window; 11 queries displaced to
+    # the tail each hold a driver-certified green row from rounds 1-3
+    # (lag_lead, rolling_counts, det_curve, min_dcf, trial_scores,
+    # deterministic_crop, dedup_groups, ngram_jaccard, knn_cosine,
+    # minhash_lsh, filters). scripts/check_oracle.py still value-checks
+    # every oracle-backed entry, window or tail.
     return {
-        "lag_lead": q_lag_lead,
         "inter_event_latency": q_inter_event_latency,
-        "rolling_counts": q_rolling_counts,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "backfill": q_backfill,
@@ -1192,20 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_rollup": q_join_rollup,
         "anti_join": q_anti_join,
         "union_distinct": q_union_distinct,
-        "filters": q_filters,
         "left_join": q_left_join,
         "except_all": q_except_all,
         "count_distinct": q_count_distinct,
-        "deterministic_crop": q_deterministic_crop,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "dedup_groups": q_dedup_groups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "knn_cosine": q_knn_cosine,
-        "trial_scores": q_trial_scores,
-        "det_curve": q_det_curve,
         "interval_session_lookup": q_interval_session_lookup,
         "holdout_split": q_holdout_split,
         "multikey_join": q_multikey_join,
@@ -1217,8 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
-        "min_dcf": q_min_dcf,
         "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "dedup_clusters": q_dedup_clusters,
         "trial_scores_2cov": q_trial_scores_2cov,
         "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
@@ -1226,15 +1283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plda_scores_fixed": q_plda_scores_fixed,
         "sphnorm_fixed": q_sphnorm_fixed,
         "ann_ivf_fixed": q_ann_ivf_fixed,
-        "minhash_lsh": q_minhash_lsh,
-        # --- entries 51+ sit past the driver's 50-query window. The
-        # window holds one oracle-backed query per SURVEY §2 row family,
-        # preferring the model-back-end / hash-chain queries the fixed-
-        # model oracles unlocked; displaced duplicates (their §2 rows
-        # remain covered by in-window siblings, and each already has a
-        # green driver row on record) come first, then the genuinely
-        # rows-only trained/iterative variants. scripts/check_oracle.py
-        # still value-checks every oracle-backed entry, window or tail.
         "cumulative": q_cumulative,
         "delta": q_delta,
         "dedup_keep_min": q_dedup_keep_min,
@@ -1242,15 +1290,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_windows": q_tumbling_windows,
         "trial_scores_maha_diag": q_trial_scores_maha_diag,
         "crop_tiled": q_crop_tiled,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+        "emb_near_dups": q_emb_near_dups,
+        # --- entries 51+ sit past the driver's 50-query window: first the
+        # round-1..3-certified stable queries displaced by the rotation
+        # above, then the genuinely rows-only trained/iterative variants
+        # whose kernels have fixed-model ✔SQL twins in the window.
+        "lag_lead": q_lag_lead,
+        "rolling_counts": q_rolling_counts,
+        "filters": q_filters,
+        "deterministic_crop": q_deterministic_crop,
+        "dedup_groups": q_dedup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "trial_scores": q_trial_scores,
+        "det_curve": q_det_curve,
+        "min_dcf": q_min_dcf,
+        "minhash_lsh": q_minhash_lsh,
         "sphnorm_plda_scores": q_sphnorm_plda_scores,
         "trial_scores_plda": q_trial_scores_plda,
         "lda_wccn_scores": q_lda_wccn_scores,
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -1527,6 +1590,44 @@ def _media_oracle_sql(k: int = 14) -> str:
                    {chunks},
                    CASE WHEN L > 0 THEN CAST(media_id % 3 AS DOUBLE) ELSE 0.0 END AS mod_code
             FROM prep
+        """
+
+
+def _media_real_oracle_sql(k: int = 14) -> str:
+    """DuckDB oracle for the REAL decode chain: regenerates the decoded
+    sample/pixel values from the same deterministic formulas the payload
+    generator packed into the WAV/PGM containers, then replays the
+    array_split chunk means. Verifies the container writer↔parser
+    roundtrip end to end (a single misread byte shifts every value)."""
+    chunk_cols = []
+    for i in range(k):
+        s = f"({i} * q + least({i}, r))"
+        e = f"({i + 1} * q + least({i + 1}, r))"
+        chunk_cols.append(
+            f"CASE WHEN n > 0 AND {e} > {s} THEN round("
+            f"list_aggregate(v[{s} + 1:{e}], 'sum') * 1.0 / ({e} - {s}), 6)"
+            f" ELSE 0.0 END AS c{i}"
+        )
+    chunks = ",\n                   ".join(chunk_cols)
+    return f"""
+            WITH prep AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 2 = 1 THEN 'audio' ELSE 'image' END AS modality,
+                     CASE WHEN doc_id % 2 = 1 THEN doc_id % 977 + 10
+                          ELSE (doc_id % 37 + 1) * (doc_id % 23 + 1) END AS n
+              FROM documents
+            ), vals AS (
+              SELECT media_id, modality, n, n // {k} AS q, n % {k} AS r,
+                     CASE WHEN modality = 'audio'
+                       THEN list_transform(range(n), i -> (media_id * 2654435761 + i * 40503) % 65536 - 32768)
+                       ELSE list_transform(range(n), i -> (media_id * 31 + i * 7) % 256)
+                     END AS v
+              FROM prep
+            )
+            SELECT media_id, modality, CAST(n AS DOUBLE) AS n_values,
+                   {chunks},
+                   CASE WHEN modality = 'audio' THEN 1.0 ELSE 0.0 END AS mod_code
+            FROM vals
         """
 
 
@@ -2123,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM r WHERE rank <= 5
         """,
         "media_features": _media_oracle_sql(),
+        "media_features_real": _media_real_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),
         "latent_factors_fixed": _latent_fixed_oracle_sql(),

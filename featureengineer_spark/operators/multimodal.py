@@ -2,12 +2,15 @@
 
 Image/audio/video content rides as a ``binary`` column with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels. The decode step itself is STUBBED (no image/audio
-libraries in this environment): ``fake_decode_features`` is a
-deterministic stand-in keyed on the payload bytes, and
-``real_decode_features`` raises ``NotImplementedError`` behind an
-import-try — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested.
+Arrow-batched kernels. Decode comes in two tiers:
+
+* ``real_decode_features`` — REAL decode for public pure-numpy-decodable
+  containers: WAV-PCM (RIFF) and netpbm PGM/PPM. Formats that need
+  actual codec libraries (JPEG/MP3/H.264/…, none installed here) raise
+  ``NotImplementedError`` with a clear message — the declared stub.
+* ``fake_decode_features`` — a deterministic stand-in keyed on the raw
+  payload bytes, for plumbing tests and oracles independent of any
+  container format.
 
 All default kernels are fully vectorized: the stub decode reads the
 Arrow binary buffers directly (offsets + data) and computes per-chunk
@@ -160,17 +163,161 @@ def fake_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
     return _stub_features(row_offsets, data, _modality_codes(modality), valid)
 
 
-def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
-    """Real decode path — requires image/audio codecs not present in this
-    container. Gated behind import-try; raises with a clear message."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
+def _parse_wav_pcm(buf: bytes) -> np.ndarray:
+    """Pure-numpy RIFF/WAVE PCM decoder → float64 sample array.
+
+    Graft of the reference's ``read_audio`` front end (``FeaGet.py:191``)
+    without any codec dependency: walks the RIFF chunk list (word-aligned,
+    unknown chunks skipped), reads ``fmt `` (PCM only, 8/16-bit), decodes
+    ``data`` with ``np.frombuffer``, and downmixes multi-channel by the
+    per-frame channel mean. Raises ``ValueError`` on a malformed
+    container and ``NotImplementedError`` on non-PCM encodings."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = max(int.from_bytes(fmt[2:4], "little"), 1)
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
         raise NotImplementedError(
-            "real media decode needs codec libraries (PIL/torchaudio/av) "
-            "that are not installed; use fake_decode_features or install codecs"
-        ) from e
-    raise NotImplementedError("real decode not implemented in this environment")
+            f"WAV audio_format={audio_format} needs codec libraries; "
+            "only uncompressed PCM decodes here"
+        )
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+    elif bits == 8:
+        # 8-bit WAV is unsigned, biased at 128
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM needs codec libraries")
+    if n_channels > 1:
+        n_frames = len(x) // n_channels
+        x = x[: n_frames * n_channels].reshape(n_frames, n_channels).mean(axis=1)
+    return x
+
+
+def _parse_pnm(buf: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decoder (P2/P3 ASCII, P5/P6 binary) → float64
+    pixel values, RGB downmixed by per-pixel channel mean. 8-bit maxval
+    only (maxval > 255 needs a wider raster — rejected, not misread)."""
+    magic = buf[0:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a P2/P3/P5/P6 netpbm payload")
+    # header = magic + 3 ASCII ints (width height maxval), '#' comments
+    # allowed between tokens, one whitespace byte ends the header
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(buf[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters need a wider decode")
+    n_ch = 3 if magic in (b"P3", b"P6") else 1
+    n_vals = width * height * n_ch
+    if magic in (b"P5", b"P6"):
+        raster = buf[pos + 1 : pos + 1 + n_vals]  # single whitespace after maxval
+        x = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
+    else:
+        x = np.array(buf[pos:].split()[:n_vals], dtype=np.float64)
+    if len(x) < n_vals:
+        raise ValueError("truncated netpbm raster")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x
+
+
+def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
+    """Real decode for public pure-numpy-decodable formats — WAV-PCM
+    (RIFF) and netpbm PGM/PPM — then the same feature chain as the stub:
+    ``MEDIA_FEATURE_DIM - 2`` ``array_split`` chunk means over the
+    DECODED values, the decoded-value count, and the modality code.
+    Formats needing actual codec libraries (JPEG/MP3/H.264/…) stay on
+    the declared stub: they raise ``NotImplementedError`` with a clear
+    message. Null/empty payloads produce all-zero rows, like the stub.
+
+    Per-item header parsing is inherent to a codec (the loop PIL/av
+    would run); the sample decode inside each item is ``np.frombuffer``
+    and the feature math is one ``reduceat`` over the concatenated
+    decoded buffer — no per-value Python."""
+    n = len(content)
+    valid = content.notna().to_numpy()
+    decoded: list[np.ndarray] = []
+    lens = np.zeros(n, dtype=np.int64)
+    for i, (ok, buf) in enumerate(zip(valid, content)):
+        if not ok or len(buf) == 0:
+            valid[i] = False
+            continue
+        buf = bytes(buf)
+        if buf[0:4] == b"RIFF":
+            x = _parse_wav_pcm(buf)
+        elif buf[0:2] in (b"P2", b"P3", b"P5", b"P6"):
+            x = _parse_pnm(buf)
+        else:
+            head = buf[0:4]
+            raise NotImplementedError(
+                f"real media decode: unrecognized format (magic={head!r}); "
+                "WAV-PCM and PGM/PPM decode pure-numpy here, anything else "
+                "needs codec libraries (PIL/torchaudio/av) not installed "
+                "in this environment — use fake_decode_features instead"
+            )
+        decoded.append(x)
+        lens[i] = len(x)
+    row_offsets = np.concatenate([[0], np.cumsum(lens)])
+    data = np.concatenate(decoded) if decoded else np.empty(0, np.float64)
+    return _stub_features(row_offsets, data, _modality_codes(modality), valid)
+
+
+def synth_wav_pcm16(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV payload for tests/oracles:
+    ``sample[i] = (media_id * 2654435761 + i * 40503) % 65536 - 32768``
+    — re-derivable in SQL, so a DuckDB oracle can verify the decode."""
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((media_id * 2654435761 + i * 40503) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def synth_pgm(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic binary PGM (P5) payload:
+    ``pixel[i] = (media_id * 31 + i * 7) % 256`` — SQL-re-derivable."""
+    i = np.arange(width * height, dtype=np.int64)
+    pix = ((media_id * 31 + i * 7) % 256).astype(np.uint8)
+    return b"P5\n%d %d\n255\n" % (width, height) + pix.tobytes()
 
 
 def extract_media_features(

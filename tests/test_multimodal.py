@@ -179,6 +179,116 @@ def test_resize_fn_gets_source_dims_and_only_image_rows(spark):
     assert bytes(out[4]["content"]) == b"\x07" * 30
 
 
+def test_wav_pcm_roundtrip_vs_stdlib_writer():
+    """_parse_wav_pcm must recover exactly what the stdlib `wave` module
+    wrote — 16-bit mono, 16-bit stereo (downmixed by channel mean), and
+    8-bit unsigned (bias 128)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from featureengineer_spark.operators.multimodal import _parse_wav_pcm
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32768, size=501).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(mono.tobytes())
+    np.testing.assert_array_equal(_parse_wav_pcm(buf.getvalue()), mono.astype(np.float64))
+
+    stereo = rng.integers(-32768, 32768, size=(200, 2)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(stereo.tobytes())
+    np.testing.assert_allclose(
+        _parse_wav_pcm(buf.getvalue()), stereo.astype(np.float64).mean(axis=1)
+    )
+
+    u8 = rng.integers(0, 256, size=77).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(u8.tobytes())
+    np.testing.assert_array_equal(
+        _parse_wav_pcm(buf.getvalue()), u8.astype(np.float64) - 128.0
+    )
+
+
+def test_pnm_decode_variants():
+    import numpy as np
+
+    from featureengineer_spark.operators.multimodal import _parse_pnm, synth_pgm
+
+    # binary PGM with a comment line in the header
+    pix = np.arange(12, dtype=np.uint8)
+    buf = b"P5\n# a comment\n4 3\n255\n" + pix.tobytes()
+    np.testing.assert_array_equal(_parse_pnm(buf), pix.astype(np.float64))
+    # binary PPM downmixes RGB by pixel mean
+    rgb = np.arange(4 * 3, dtype=np.uint8)
+    buf = b"P6 2 2 255 " + rgb.tobytes()
+    np.testing.assert_allclose(
+        _parse_pnm(buf), rgb.reshape(-1, 3).astype(np.float64).mean(axis=1)
+    )
+    # ASCII PGM
+    buf = b"P2\n3 1\n255\n10 20 30\n"
+    np.testing.assert_array_equal(_parse_pnm(buf), [10.0, 20.0, 30.0])
+    # deterministic generator parses back to its formula
+    got = _parse_pnm(synth_pgm(42, 5, 4))
+    exp = (42 * 31 + np.arange(20) * 7) % 256
+    np.testing.assert_array_equal(got, exp.astype(np.float64))
+
+
+def test_real_decode_features_end_to_end(spark):
+    """extract_media_features(decode_fn=real_decode_features) over
+    synthetic WAV + PGM payloads: chunk means over DECODED values match
+    a per-row numpy oracle; unknown magic raises NotImplementedError."""
+    import numpy as np
+    import pandas as pd
+
+    from featureengineer_spark.operators.multimodal import (
+        MEDIA_FEATURE_DIM,
+        MEDIA_SCHEMA,
+        extract_media_features,
+        real_decode_features,
+        synth_pgm,
+        synth_wav_pcm16,
+    )
+
+    k = MEDIA_FEATURE_DIM - 2
+    rows, expected = [], {}
+    for mid in range(1, 9):
+        if mid % 2:
+            payload = synth_wav_pcm16(mid, mid * 13 + 5)
+            vals = (mid * 2654435761 + np.arange(mid * 13 + 5) * 40503) % 65536 - 32768
+            modality = "audio"
+        else:
+            w, h = mid % 5 + 2, mid % 3 + 2
+            payload = synth_pgm(mid, w, h)
+            vals = (mid * 31 + np.arange(w * h) * 7) % 256
+            modality = "image"
+        rows.append((mid, modality, payload, (None, None, None, None, None)))
+        expected[mid] = np.array(
+            [c.mean() if len(c) else 0.0 for c in np.array_split(vals.astype(float), k)]
+            + [float(len(vals)), 1.0 if modality == "audio" else 0.0]
+        )
+    rows.append((99, "audio", None, (None, None, None, None, None)))  # null → zeros
+    expected[99] = np.zeros(MEDIA_FEATURE_DIM)
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: np.array(r["feature_vec"])
+        for r in extract_media_features(df, decode_fn=real_decode_features).collect()
+    }
+    for mid, exp in expected.items():
+        np.testing.assert_allclose(out[mid], exp, err_msg=f"media_id={mid}")
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_decode_features(pd.Series([b"\xff\xd8JPEG..."]), pd.Series(["image"]))
+
+
 def test_chunk_means_adversarial_lengths():
     """Every payload length 0..3k+1 must match per-row array_split means
     exactly — the reduceat boundary bug class (empty trailing segments,
