@@ -542,25 +542,54 @@ def q_det_curve(spark, sf):
     )
 
 
+def _deterministic_emb(spark, sf):
+    """Embeddings input under the bit-determinism contract: explicit
+    ``repartition(4, conv_id)`` (hash assignment is a pure function of the
+    key; the explicit numPartitions blocks AQE coalescing) + a local sort
+    on a unique key fixes per-task row order, so every per-task float
+    accumulation in the training chain folds in the same order regardless
+    of the session's shuffle/parallelism config. Combined with the
+    pid-sorted reduce in ``em._stable_sum``, the trained model becomes a
+    pure function of (input file, seed) — which is what lets
+    trained-model outputs be value-checked against literals captured once
+    by ``scripts/capture_trained_models.py``."""
+    return (
+        _t(spark, sf, "embeddings")
+        .select(
+            F.col("vec_id"),
+            F.col("label").cast("string").alias("conv_id"),
+            F.col("embedding").cast("array<double>").alias("feature_vec"),
+        )
+        .repartition(4, "conv_id")
+        .sortWithinPartitions("conv_id", "vec_id")
+        .drop("vec_id")
+    )
+
+
 def q_gmm_suff_stats(spark, sf):
     """Distributed GMM EM + per-entity sufficient statistics (UBM graft).
 
-    Iterative EM is not SQL-expressible → rows-only check (one row per
-    label-entity). The stat0/stat1 arrays are serialized to rounded JSON
-    strings so the driver's row canonicalizer (which sorts rows) can hash
-    them — raw array<double> columns are unhashable in pandas."""
+    The training chain is bit-deterministic (``_deterministic_emb`` +
+    pid-sorted partial reduce), so the TRAINED model is reproducible and
+    the DuckDB oracle re-derives the E-step from literal trained-model
+    coefficients captured by ``scripts/capture_trained_models.py`` —
+    value-level check of the full train→stats pipeline. Long-form output
+    like ``gmm_suff_stats_fixed``."""
     from featureengineer_spark.operators.em import sufficient_stats, train_gmm
 
-    emb = _t(spark, sf, "embeddings").select(
-        F.col("label").cast("string").alias("conv_id"),
-        F.col("embedding").cast("array<double>").alias("feature_vec"),
-    )
+    emb = _deterministic_emb(spark, sf)
     model = train_gmm(emb, n_components=3, n_iter=2, seed=3)
+    d = model.means.shape[1]
     stats = sufficient_stats(emb, model)
+    comp = (F.col("idx") / d).cast("int")
     return stats.select(
+        "conv_id", "stat0", F.posexplode("stat1").alias("idx", "s1")
+    ).select(
         "conv_id",
-        F.to_json(F.transform("stat0", lambda x: F.round(x, 4))).alias("stat0_json"),
-        F.to_json(F.transform("stat1", lambda x: F.round(x, 4))).alias("stat1_json"),
+        comp.alias("comp"),
+        F.pmod(F.col("idx"), F.lit(d)).cast("int").alias("dim0"),
+        _r(F.element_at("stat0", comp + 1)).alias("stat0"),
+        _r(F.col("s1")).alias("s1"),
     )
 
 
@@ -638,25 +667,30 @@ def q_latent_factors(spark, sf):
     → TV-matrix EM → per-entity latent factor (the reference's 5-stage
     i-vector front end, IVector.py:131-244 + mpiIV.py:248-343).
 
-    Iterative EM is not SQL-expressible → rows-only check; the latent
-    vectors are emitted as rounded JSON so the driver can sort rows."""
+    The chain is bit-deterministic (``_deterministic_emb`` + pid-sorted
+    partial reduce + deterministic stats layout before the TV EM), so the
+    DuckDB oracle replays the rank-4 extraction from literal trained
+    UBM + TV coefficients — the 4×4 posterior solve runs as a generated
+    Cramer's-rule expansion. Value-level check of the full five-stage
+    train→extract pipeline."""
     from featureengineer_spark.operators.em import sufficient_stats, train_gmm
     from featureengineer_spark.operators.tv import (
         extract_latent_factors,
         train_total_variability,
     )
 
-    emb = _t(spark, sf, "embeddings").select(
-        F.col("label").cast("string").alias("conv_id"),
-        F.col("embedding").cast("array<double>").alias("feature_vec"),
-    )
+    emb = _deterministic_emb(spark, sf)
     ubm = train_gmm(emb, n_components=3, n_iter=2, seed=3)
-    stats = sufficient_stats(emb, ubm)
+    stats = (
+        sufficient_stats(emb, ubm)
+        .repartition(2, "conv_id")
+        .sortWithinPartitions("conv_id")
+    )
     tv = train_total_variability(stats, ubm, rank=4, n_iter=2, seed=7)
     lat = extract_latent_factors(stats, tv)
     return lat.select(
         "conv_id",
-        F.to_json(F.transform("latent", lambda x: F.round(x, 4))).alias("latent_json"),
+        *[_r(F.element_at("latent", i + 1)).alias(f"w{i}") for i in range(4)],
     )
 
 
@@ -1320,15 +1354,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 
 
-def _gmm_stats_core_sql() -> str:
-    """Shared DuckDB CTE chain for the fixed-model GMM E-step: per-vector
+def _trained_model_params():
+    """Literal trained-model coefficients captured once from the
+    bit-deterministic sf0.01 training chain by
+    ``scripts/capture_trained_models.py`` (see ``_deterministic_emb`` for
+    the determinism contract). Returns (w, mu, var, f_mat)."""
+    import json
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "trained_models_sf001.json")
+    with open(path) as fh:
+        blob = json.load(fh)
+    g = blob["gmm"]
+    k, d = g["k"], g["d"]
+    w = np.array([float(v) for v in g["weights"]])
+    mu = np.array([float(v) for v in g["means"]]).reshape(k, d)
+    var = np.array([float(v) for v in g["variances"]]).reshape(k, d)
+    f_mat = np.array([float(v) for v in blob["tv"]["f_mat"]]).reshape(
+        k * d, blob["tv"]["rank"]
+    )
+    return w, mu, var, f_mat
+
+
+def _gmm_stats_core_sql(params=None) -> str:
+    """Shared DuckDB CTE chain for a LITERAL-model GMM E-step: per-vector
     softmax responsibilities over literal per-component linear /
     quadratic coefficients (A = μ/σ², B = 1/σ², const folded in numpy),
     yielding CTE ``core`` = UNROUNDED per-(entity, component, dim)
-    sufficient statistics (columns conv_id, comp, dim0, stat0, s1)."""
+    sufficient statistics (columns conv_id, comp, dim0, stat0, s1).
+    ``params=None`` uses the seed-derived fixed model; pass
+    ``(w, mu, var)`` to replay the E-step under the TRAINED model."""
     import numpy as np
 
-    w, mu, var = _fixed_gmm_params()
+    w, mu, var = params if params is not None else _fixed_gmm_params()
     k, d = mu.shape
     inv = 1.0 / var
     const = (
@@ -1432,6 +1492,101 @@ def _latent_fixed_oracle_sql() -> str:
               FROM n0 GROUP BY conv_id
             )
             SELECT b.conv_id, round(b.bb / lam.lm, 6) AS w0
+            FROM b JOIN lam ON lam.conv_id = b.conv_id
+        """
+    )
+
+
+def _gmm_stats_trained_oracle_sql() -> str:
+    """Trained-model twin of ``_gmm_stats_oracle_sql``: the E-step is
+    replayed under the LITERAL converged UBM (2 EM iterations, seed 3)
+    captured from the bit-deterministic training chain — a value-level
+    check of train_gmm → sufficient_stats end to end."""
+    w, mu, var, _f = _trained_model_params()
+    return (
+        _gmm_stats_core_sql((w, mu, var))
+        + """
+            SELECT conv_id, comp, dim0,
+                   round(stat0, 6) AS stat0, round(s1, 6) AS s1
+            FROM core
+        """
+    )
+
+
+def _det4_sql(m) -> str:
+    """Leibniz expansion of a 4×4 determinant over SQL entry expressions
+    ``m[i][j]`` — 24 signed products, generated mechanically."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        inversions = sum(
+            1 for a in range(4) for b in range(a + 1, 4) if perm[a] > perm[b]
+        )
+        prod = " * ".join(m[i][perm[i]] for i in range(4))
+        terms.append(("+ " if inversions % 2 == 0 else "- ") + f"({prod})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _latent_trained_oracle_sql() -> str:
+    """Trained-model rank-4 latent extraction replayed in DuckDB: s̃₁ from
+    the literal trained UBM, b = Tᵀs̃₁ per rank component, precision
+    Λ = I + Σ_c N_c·G_c from literal per-component Gram matrices
+    (G_c = T_cᵀT_c folded in numpy — T is already σ-whitened), and the
+    4×4 posterior solve Λw = b as a generated Cramer's-rule expansion
+    (5 Leibniz determinants). Verifies the full five-stage
+    train→stats→TV-EM→extract pipeline at value level."""
+    import numpy as np
+
+    w, mu, var, f_mat = _trained_model_params()
+    k, d = mu.shape
+    r = f_mat.shape[1]
+    assert r == 4
+    isig = 1.0 / np.sqrt(var)
+    fk = f_mat.reshape(k, d, r)
+    gram = np.matmul(fk.transpose(0, 2, 1), fk)  # (k, r, r)
+
+    b_terms = ", ".join(
+        f"sum((core.s1 - core.stat0 * muf[core.comp * {d} + core.dim0 + 1])"
+        f" * isig[core.comp * {d} + core.dim0 + 1]"
+        f" * t{i}[core.comp * {d} + core.dim0 + 1]) AS b{i}"
+        for i in range(r)
+    )
+    t_arrays = ", ".join(
+        f"{_sql_list(f_mat[:, i])}::DOUBLE[] AS t{i}" for i in range(r)
+    )
+    lam_cols = ", ".join(
+        f"{'1.0' if i == j else '0.0'} + sum(nc * (CASE comp "
+        + " ".join(f"WHEN {c} THEN ({gram[c, i, j]!r})" for c in range(k))
+        + f" END)) AS l{i}{j}"
+        for i in range(r)
+        for j in range(r)
+    )
+    a_mat = [[f"l{i}{j}" for j in range(r)] for i in range(r)]
+    det_a = _det4_sql(a_mat)
+    w_cols = []
+    for i in range(r):
+        a_i = [
+            [f"b{row}" if col == i else f"l{row}{col}" for col in range(r)]
+            for row in range(r)
+        ]
+        w_cols.append(f"round({_det4_sql(a_i)} / {det_a}, 6) AS w{i}")
+    return (
+        _gmm_stats_core_sql((w, mu, var))
+        + f""",
+            tvc AS (
+              SELECT {_sql_list(mu.ravel())}::DOUBLE[] AS muf,
+                     {_sql_list(isig.ravel())}::DOUBLE[] AS isig,
+                     {t_arrays}
+            ), b AS (
+              SELECT core.conv_id, {b_terms}
+              FROM core CROSS JOIN tvc GROUP BY core.conv_id
+            ), n0 AS (
+              SELECT conv_id, comp, max(stat0) AS nc FROM core GROUP BY 1, 2
+            ), lam AS (
+              SELECT conv_id, {lam_cols} FROM n0 GROUP BY conv_id
+            )
+            SELECT b.conv_id, {", ".join(w_cols)}
             FROM b JOIN lam ON lam.conv_id = b.conv_id
         """
     )
@@ -2228,6 +2383,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(),
         "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),
         "latent_factors_fixed": _latent_fixed_oracle_sql(),
+        "gmm_suff_stats": _gmm_stats_trained_oracle_sql(),
+        "latent_factors": _latent_trained_oracle_sql(),
         "ann_ivf_fixed": _ann_ivf_oracle_sql(),
         "emb_near_dups": _emb_near_dups_oracle_sql(),
         "plda_scores_fixed": _plda_fixed_oracle_sql(),

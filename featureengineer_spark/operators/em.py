@@ -62,6 +62,21 @@ def _responsibilities(x: np.ndarray, model: GMM) -> tuple[np.ndarray, float]:
     return p / s, llk
 
 
+def _stable_sum() -> F.Column:
+    """Bit-deterministic per-position reduce: collect (source-partition-id,
+    value) pairs, sort by pid, left-fold the sum. Float addition is not
+    associative, so a plain ``F.sum`` depends on task COMPLETION order and
+    the converged model drifts in the last bits across runs; folding in
+    pid order makes the trained model a pure function of (input files,
+    partitioning, seed) — which is what lets trained-model outputs be
+    embedded as literals in DuckDB value oracles. Each task emits at most
+    one partial per position, so the per-position list is ≤ #tasks long
+    and the shuffle volume is unchanged (there was nothing for map-side
+    combine to merge within a task anyway)."""
+    pairs = F.array_sort(F.collect_list(F.struct(F.col("pid"), F.col("v"))))
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x["v"])
+
+
 def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np.ndarray]:
     """Element-wise sum of per-batch partial columns, reduced IN-CLUSTER.
 
@@ -95,11 +110,14 @@ def reduce_partials(df: DataFrame, sizes: dict[str, int | None]) -> dict[str, np
                     )
                 )
             )
-    exploded = df.select(F.posexplode(F.concat(*cols)).alias("pos", "v"))
+    exploded = df.select(
+        F.spark_partition_id().alias("pid"),
+        F.posexplode(F.concat(*cols)).alias("pos", "v"),
+    )
     # Arrow-path gather: at the reference's production TV shape the
     # reduced statistics are ~10⁸ doubles — driver-side Row objects would
     # dominate; toPandas() moves one Arrow table instead.
-    pdf = exploded.groupBy("pos").agg(F.sum("v").alias("s")).toPandas()
+    pdf = exploded.groupBy("pos").agg(_stable_sum().alias("s")).toPandas()
     if len(pdf) == 0:
         raise ValueError(
             "reduce_partials: no partial rows to reduce (empty input frame) — "
@@ -153,9 +171,11 @@ def reduce_sliced_partials(
         )
     )
     exploded = df.select(
-        F.col(start_col), F.posexplode(guarded).alias("p", "v")
-    ).select((F.col(start_col) + F.col("p")).alias("pos"), "v")
-    pdf = exploded.groupBy("pos").agg(F.sum("v").alias("s")).toPandas()
+        F.spark_partition_id().alias("pid"),
+        F.col(start_col),
+        F.posexplode(guarded).alias("p", "v"),
+    ).select("pid", (F.col(start_col) + F.col("p")).alias("pos"), "v")
+    pdf = exploded.groupBy("pos").agg(_stable_sum().alias("s")).toPandas()
     if len(pdf) == 0:
         raise ValueError(
             "reduce_sliced_partials: no partial slices to reduce (empty input)"

@@ -135,3 +135,43 @@ def test_reduce_partials_rejects_wrong_length_and_empty(spark):
     empty = good.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty input frame"):
         reduce_partials(empty, {"arr": 2, "s": None})
+
+
+def test_trained_model_bit_deterministic_across_configs(spark):
+    """The round-4 determinism contract: the gate queries' explicit
+    repartition-by-key + sortWithinPartitions layout, combined with
+    em._stable_sum's pid-sorted partial fold, makes the trained model a
+    pure function of (input rows, seed) — independent of how the source
+    happened to be partitioned. Training from two very different input
+    layouts must converge to BIT-identical parameters (float addition is
+    not associative, so any order leak shows up in the last bits)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.em import train_gmm
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("label").cast("string").alias("conv_id"),
+            F.col("embedding").cast("array<double>").alias("feature_vec"),
+        )
+    )
+
+    def contract(df):
+        return (
+            df.repartition(4, "conv_id")
+            .sortWithinPartitions("conv_id", "vec_id")
+            .drop("vec_id")
+        )
+
+    layout_a = contract(src)
+    # adversarial source layout: scrambled round-robin over 13 partitions
+    layout_b = contract(src.repartition(13).sortWithinPartitions("embedding"))
+
+    m_a = train_gmm(layout_a, n_components=3, n_iter=2, seed=3)
+    m_b = train_gmm(layout_b, n_components=3, n_iter=2, seed=3)
+    assert np.array_equal(m_a.means, m_b.means)
+    assert np.array_equal(m_a.variances, m_b.variances)
+    assert np.array_equal(m_a.weights, m_b.weights)
