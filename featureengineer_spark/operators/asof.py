@@ -48,15 +48,22 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     inclusive: bool = True,
     matched_ts_col: str = "matched_ts",
+    allow_non_causal: bool = False,
 ) -> DataFrame:
     """Point-in-time join via union-tag + ``last(ignorenulls)`` window.
 
     Returns one row per anchor row with ``value_cols`` (default: all
     feature columns except the keys) filled from the latest qualifying
-    feature row; anchors with no prior feature get nulls.
+    feature row; anchors with no prior feature get nulls. Feature columns
+    tagged non-causal (centered-window provenance) are refused unless
+    ``allow_non_causal=True`` — see ``validation.assert_causal``.
     """
+    from featureengineer_spark.validation import assert_causal
+
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    if not allow_non_causal:
+        assert_causal(features, value_cols, context="asof_join")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
 
     # Pack matched_ts + all value columns into ONE struct and backfill
@@ -119,6 +126,7 @@ def asof_join_pandas(
     value_cols: Sequence[str] | None = None,
     inclusive: bool = True,
     matched_ts_col: str = "matched_ts",
+    allow_non_causal: bool = False,
 ) -> DataFrame:
     """Point-in-time join via cogrouped ``pd.merge_asof`` (Arrow-batched).
 
@@ -126,8 +134,12 @@ def asof_join_pandas(
     cogroup. The per-group pandas sort is the "sort-merge within ts-bucket
     partitions" strategy from SURVEY.md §2.3 J9.
     """
+    from featureengineer_spark.validation import assert_causal
+
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    if not allow_non_causal:
+        assert_causal(features, value_cols, context="asof_join_pandas")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
 
     feat = features.select(entity_col, ts_col, *( [tie_col] if tie_col in features.columns and tie_col not in value_cols else [] ), *value_cols)
@@ -182,6 +194,7 @@ def salted_asof_join(
     inclusive: bool = True,
     matched_ts_col: str = "matched_ts",
     chunk_seconds: float = 86400.0,
+    allow_non_causal: bool = False,
 ) -> DataFrame:
     """As-of join with a mega-entity path (W2/X5 graft — the reference's
     "very long signals" batching, ``FeaGet.py:211-217``, applied to the
@@ -202,8 +215,12 @@ def salted_asof_join(
     only, so inclusive/strict tie handling (same ts ⇒ same chunk) is
     untouched, and the carry is strictly from earlier chunks.
     """
+    from featureengineer_spark.validation import assert_causal
+
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
+    if not allow_non_causal:
+        assert_causal(features, value_cols, context="salted_asof_join")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
     chunk_us = int(chunk_seconds * 1_000_000)
 
@@ -306,13 +323,9 @@ def asof_join_auto(
     """Skew-aware as-of join: a cheap count-agg probe on the feature side
     picks the salted time-chunked path when any entity exceeds
     ``heavy_threshold`` rows (same contract as ``rolling_counts_auto``)."""
-    from featureengineer_spark.operators.skew import detect_heavy_keys
+    from featureengineer_spark.operators.skew import has_heavy_keys
 
-    has_heavy = bool(
-        detect_heavy_keys(features, key=entity_col, threshold=heavy_threshold)
-        .limit(1)
-        .count()
-    )
+    has_heavy = has_heavy_keys(features, key=entity_col, threshold=heavy_threshold)
     if has_heavy:
         return salted_asof_join(
             features, anchors, entity_col=entity_col, chunk_seconds=chunk_seconds, **kw

@@ -73,6 +73,49 @@ def detect_heavy_keys(
     return df.groupBy(key).count().filter(F.col("count") > threshold)
 
 
+#: session-lifetime memo for the auto-routers' heavy-key probe:
+#: (session id, plan semanticHash, key, threshold, sample_denominator) →
+#: bool. N auto ops over the same table fire ONE probe job, not N.
+_HEAVY_PROBE_CACHE: dict[tuple, bool] = {}
+_HEAVY_PROBE_CACHE_MAX = 256
+
+
+def has_heavy_keys(
+    df: DataFrame,
+    key: str = "conv_id",
+    threshold: int = 100_000,
+    sample_denominator: int | None = None,
+    use_cache: bool = True,
+) -> bool:
+    """Driver-side boolean the auto-routers branch on: does any entity
+    exceed ``threshold`` rows? Memoized per (session, analyzed-plan
+    ``semanticHash``, key, threshold, denominator) so repeated auto calls
+    on the same table cost one probe job per session. The memo keys on
+    the logical plan, not the data — for a table whose files mutate
+    between calls within one session, pass ``use_cache=False``."""
+    ck = (
+        id(df.sparkSession),
+        df.semanticHash(),
+        key,
+        int(threshold),
+        sample_denominator,
+    )
+    if use_cache and ck in _HEAVY_PROBE_CACHE:
+        return _HEAVY_PROBE_CACHE[ck]
+    out = bool(
+        detect_heavy_keys(
+            df, key=key, threshold=threshold, sample_denominator=sample_denominator
+        )
+        .limit(1)
+        .count()
+    )
+    if use_cache:
+        if len(_HEAVY_PROBE_CACHE) >= _HEAVY_PROBE_CACHE_MAX:
+            _HEAVY_PROBE_CACHE.pop(next(iter(_HEAVY_PROBE_CACHE)))
+        _HEAVY_PROBE_CACHE[ck] = out
+    return out
+
+
 def salted_rolling_counts(
     df: DataFrame,
     predicates: dict[str, Column],
@@ -282,9 +325,7 @@ def rolling_counts_auto(
     """
     from featureengineer_spark.operators.windows import with_rolling_counts
 
-    has_heavy = bool(
-        detect_heavy_keys(df, key=entity_col, threshold=heavy_threshold).limit(1).count()
-    )
+    has_heavy = has_heavy_keys(df, key=entity_col, threshold=heavy_threshold)
     if has_heavy:
         return salted_rolling_counts(
             df, predicates, window=window, chunk_size=chunk_size,

@@ -180,17 +180,23 @@ def with_sliding_norm(
 ) -> DataFrame:
     """Rolling standardization (W4 — ``cep_sliding_norm(win=301)``,
     IVector.py:348). Default is *trailing* (leakage-safe); ``center=True``
-    reproduces the reference's centered window for offline parity runs.
+    reproduces the reference's centered window for offline parity runs —
+    the output column is then TAGGED non-causal in schema metadata
+    (``validation.NON_CAUSAL_KEY``) so the as-of/PIT operators refuse it
+    as a feature value (their ``assert_causal`` guard).
     """
+    from featureengineer_spark.validation import NON_CAUSAL_KEY
+
     half = (win - 1) // 2
     frame = (-half, half) if center else (-(win - 1), 0)
     w = turn_window(entity_col, order_cols).rowsBetween(*frame)
     mu = F.avg(col).over(w)
     sd = F.stddev_samp(col).over(w)
-    return df.withColumn(
-        out_col or f"{col}_slidnorm",
-        F.when(sd > 0, (F.col(col) - mu) / sd).otherwise(F.lit(0.0)),
-    )
+    name = out_col or f"{col}_slidnorm"
+    expr = F.when(sd > 0, (F.col(col) - mu) / sd).otherwise(F.lit(0.0))
+    if center:
+        expr = expr.alias(name, metadata={NON_CAUSAL_KEY: True})
+    return df.withColumn(name, expr)
 
 
 def with_group_norm(

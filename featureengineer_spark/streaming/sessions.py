@@ -231,6 +231,7 @@ def stream_stream_asof(
     anchor_ts_col: str = "anchor_ts",
     tie_col: str = "turn_idx",
     value_cols=("turn_idx",),
+    how: str = "left_outer",
 ) -> DataFrame:
     """Stream-STREAM bounded-lookback point-in-time join: both the
     feature turns and the anchors arrive as streams; each anchor gets
@@ -238,16 +239,27 @@ def stream_stream_asof(
     ``anchor_ts − lookback ≤ ts ≤ anchor_ts`` for its entity.
 
     Two chained stateful operators, both watermark-bounded state:
-    (1) a stream-stream inner join on the entity key with an event-time
+    (1) a stream-stream join on the entity key with an event-time
     range condition — the lookback bound is what makes the join state
     finite, the streaming form of the as-of operator's leakage bound
     (`ts <= anchor_ts` is part of the join condition, so no future
     feature can ever attach); (2) an append-mode aggregation keyed on
     (entity, anchor event-time) taking ``max_by`` over (ts, tie) — the
-    batch operator's latest-row tie discipline. Anchors with no feature
-    inside the lookback window emit nothing (inner-join semantics; the
-    unbounded-history variant is the foreachBatch ``stream_asof_attach``).
+    batch operator's latest-row tie discipline.
+
+    ``how`` controls unmatched-anchor semantics. The default
+    ``"left_outer"`` matches the batch ``asof_join`` contract (reference
+    analog: every trial in the ndx gets a score,
+    ``PrepareData.py:195-211``): an anchor with no feature inside its
+    lookback window still emits, with null ``matched_ts``/values, once
+    the watermark closes its join state — Spark emits the null-augmented
+    row at state expiry, and since an unmatched anchor produces exactly
+    one such row its group aggregates to the null struct. ``"inner"``
+    drops unmatched anchors instead. The unbounded-history variant is
+    the foreachBatch ``stream_asof_attach``.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     f = features.select(
         F.col(entity_col).alias("__f_ent"),
         F.col(ts_col).alias("__f_ts"),
@@ -267,7 +279,7 @@ def stream_stream_asof(
         (F.col(entity_col) == F.col("__f_ent"))
         & (F.col("__f_ts") <= F.col(anchor_ts_col))
         & (F.col("__f_ts") >= F.col(anchor_ts_col) - F.expr(f"INTERVAL {lookback}")),
-        "inner",
+        how,
     )
     picked = joined.groupBy(entity_col, anchor_ts_col).agg(
         F.max_by(

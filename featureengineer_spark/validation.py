@@ -12,6 +12,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: schema-metadata key marking a column whose value at row t was computed
+#: from rows LATER than t (e.g. a centered sliding window). Such columns
+#: must never ride through a point-in-time join as feature values.
+NON_CAUSAL_KEY = "featureengineer_spark.non_causal"
+
+
+def non_causal_columns(df: DataFrame, cols=None) -> list[str]:
+    """Columns of ``df`` (or of ``cols``) tagged non-causal via schema
+    metadata — produced by centered/two-sided window operators
+    (``with_sliding_norm(center=True)``). Metadata rides the schema, so
+    the tag survives select/filter/join as long as the column itself is
+    carried through unchanged."""
+    wanted = set(cols) if cols is not None else None
+    return [
+        f.name
+        for f in df.schema.fields
+        if (wanted is None or f.name in wanted) and f.metadata.get(NON_CAUSAL_KEY)
+    ]
+
+
+def assert_causal(df: DataFrame, cols, context: str = "as-of join") -> None:
+    """Refuse non-causal feature columns at PIT boundaries — the
+    start/stop temporal discipline of the reference (``IVector.py:796-800``)
+    lifted to column provenance: a centered-window feature at row t has
+    already read rows after t, so attaching it as-of an anchor leaks the
+    future even though matched_ts <= anchor_ts."""
+    bad = non_causal_columns(df, cols)
+    if bad:
+        raise ValueError(
+            f"{context}: value_cols {bad} are tagged non-causal "
+            f"(schema metadata '{NON_CAUSAL_KEY}') — they were computed with a "
+            "centered/two-sided window and would leak future rows through the "
+            "point-in-time boundary. Recompute them with a trailing window "
+            "(e.g. with_sliding_norm(center=False)) or pass "
+            "allow_non_causal=True for an offline parity run."
+        )
+
+
 def leakage_violations(
     joined: DataFrame,
     anchor_ts_col: str = "anchor_ts",

@@ -104,3 +104,33 @@ def test_asof_auto_routes(transcripts, anchors):
     a = _norm(out_heavy.toPandas())
     b = _norm(out_light.toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_non_causal_provenance_guard(spark, transcripts):
+    """A centered sliding-norm column is tagged non-causal in schema
+    metadata; feeding it through any as-of path as a feature value must
+    raise, while the trailing variant and allow_non_causal=True pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators import asof_join
+    from featureengineer_spark.operators.asof import asof_join_pandas, salted_asof_join
+    from featureengineer_spark.operators.windows import with_sliding_norm
+    from featureengineer_spark.validation import non_causal_columns
+
+    feats = with_sliding_norm(
+        transcripts.withColumn("x", F.length("text").cast("double")),
+        "x", win=5, center=True, out_col="x_centered",
+    )
+    feats = with_sliding_norm(feats, "x", win=5, center=False, out_col="x_trailing")
+    # the tag survives projection/filter
+    carried = feats.select("conv_id", "ts", "turn_idx", "x_centered", "x_trailing")
+    assert non_causal_columns(carried) == ["x_centered"]
+
+    anchors = transcripts.groupBy("conv_id").agg(F.max("ts").alias("anchor_ts"))
+    for fn in (asof_join, asof_join_pandas, salted_asof_join):
+        with pytest.raises(ValueError, match="non-causal"):
+            fn(carried, anchors, value_cols=["x_centered"])
+    # trailing column passes; explicit override allows offline parity runs
+    asof_join(carried, anchors, value_cols=["x_trailing"]).count()
+    asof_join(carried, anchors, value_cols=["x_centered"], allow_non_causal=True).count()

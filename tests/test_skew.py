@@ -225,3 +225,44 @@ def test_salted_iir_rejects_depth_over_chunk(transcripts):
 
     with pytest.raises(ValueError, match="chunk_size"):
         salted_iir(transcripts, "turn_idx", RASTA_B, RASTA_A, chunk_size=64)
+
+
+def test_heavy_probe_memoized_across_auto_calls(spark, monkeypatch):
+    """Two auto-router calls over the same table must fire ONE heavy-key
+    probe job (session-lifetime memo keyed on the analyzed plan), with
+    identical results either way."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators import skew
+    from featureengineer_spark.operators.asof import asof_join_auto
+    from featureengineer_spark.operators.skew import rolling_counts_auto
+
+    df = (
+        spark.range(2000)
+        .select(
+            (F.col("id") % 20).cast("string").alias("conv_id"),
+            (F.col("id") / 20).cast("int").alias("turn_idx"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            F.lit("user").alias("role"),
+        )
+    )
+    calls = {"n": 0}
+    real = skew.detect_heavy_keys
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(skew, "detect_heavy_keys", counting)
+    skew._HEAVY_PROBE_CACHE.clear()
+
+    anchors = df.groupBy("conv_id").agg(F.max("ts").alias("anchor_ts"))
+    preds = {"n_user": F.col("role") == "user"}
+    out1 = rolling_counts_auto(df, preds, window=5, heavy_threshold=50_000)
+    out2 = asof_join_auto(df, anchors, heavy_threshold=50_000, value_cols=["turn_idx"])
+    assert out1.count() == 2000 and out2.count() == 20
+    assert calls["n"] == 1  # second auto call hit the memo
+
+    # bypass works and the memo answers stay correct
+    assert skew.has_heavy_keys(df, threshold=50_000, use_cache=False) is False
+    assert calls["n"] == 2

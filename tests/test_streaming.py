@@ -320,7 +320,7 @@ def test_stream_stream_asof_matches_batch(spark, transcripts, tmp_path):
 
     out = stream_stream_asof(
         f_stream, a_stream, lookback="2 hours", watermark="10 minutes",
-        value_cols=("turn_idx", "role"),
+        value_cols=("turn_idx", "role"), how="inner",
     )
     q = (
         out.writeStream.format("memory").queryName("ss_asof")
@@ -352,3 +352,91 @@ def test_stream_stream_asof_matches_batch(spark, transcripts, tmp_path):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got[exp.columns], exp)
     assert (got["matched_ts"] <= got["anchor_ts"]).all()  # zero leakage
+
+
+def test_stream_stream_asof_left_outer_keeps_unmatched_anchors(spark, tmp_path):
+    """Batch-parity for the left-outer variant: anchors with NO feature
+    inside the lookback window must still emit (null matched_ts/values)
+    once the watermark closes their state — the batch asof_join contract.
+    Fixture places several anchors >1h after their entity's last feature
+    so the 1-hour lookback window is empty for them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_stream_asof
+
+    feat_dir = str(tmp_path / "feat_lo")
+    anch_dir = str(tmp_path / "anch_lo")
+    base = "2024-03-01 12:00:00"
+    feats = spark.createDataFrame(
+        [
+            # c1: features at t, t+10m  → anchor at t+20m matches t+10m
+            ("c1", 0, f"{base}"),
+            ("c1", 1, "2024-03-01 12:10:00"),
+            # c2: single feature at t → anchor at t+3h is OUT of lookback
+            ("c2", 0, f"{base}"),
+            # c3: anchors only, no features at all
+        ],
+        "conv_id string, turn_idx int, ts_s string",
+    ).select("conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts"))
+    anchors = spark.createDataFrame(
+        [
+            ("c1", "2024-03-01 12:20:00"),
+            ("c2", "2024-03-01 15:00:00"),  # unmatched: 3h gap > 1h lookback
+            ("c3", "2024-03-01 13:00:00"),  # unmatched: entity has no features
+        ],
+        "conv_id string, anchor_ts_s string",
+    ).select("conv_id", F.col("anchor_ts_s").cast("timestamp").alias("anchor_ts"))
+    # watermark sentinels far in the future on BOTH streams so append
+    # mode emits every group (incl. expired unmatched-anchor state)
+    sent_t = "2024-04-01 00:00:00"
+    feats = feats.unionByName(
+        spark.createDataFrame([("__sent", 0, sent_t)], "conv_id string, turn_idx int, ts_s string")
+        .select("conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    anchors = anchors.unionByName(
+        spark.createDataFrame([("__sent_a", sent_t)], "conv_id string, anchor_ts_s string")
+        .select("conv_id", F.col("anchor_ts_s").cast("timestamp").alias("anchor_ts"))
+    )
+    feats.repartition(2).write.mode("overwrite").parquet(feat_dir)
+    anchors.repartition(2).write.mode("overwrite").parquet(anch_dir)
+
+    f_stream = spark.readStream.schema("conv_id string, turn_idx int, ts timestamp").parquet(feat_dir)
+    a_stream = spark.readStream.schema("conv_id string, anchor_ts timestamp").parquet(anch_dir)
+    out = stream_stream_asof(
+        f_stream, a_stream, lookback="1 hour", watermark="5 minutes",
+        value_cols=("turn_idx",), how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_asof_lo")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("ss_asof_lo").toPandas()
+        .sort_values(["conv_id", "anchor_ts"]).reset_index(drop=True)
+    )
+
+    # batch formulation: LEFT join + same lookback + max_by
+    exp = spark.sql(f"""
+        SELECT conv_id, anchor_ts, m.* FROM (
+          SELECT a.conv_id, a.anchor_ts,
+                 max_by(struct(f.ts AS matched_ts, f.turn_idx),
+                        struct(f.ts, f.turn_idx)) AS m
+          FROM parquet.`{anch_dir}` a
+          LEFT JOIN parquet.`{feat_dir}` f
+            ON f.conv_id = a.conv_id
+           AND f.ts <= a.anchor_ts
+           AND f.ts >= a.anchor_ts - INTERVAL 1 HOUR
+          GROUP BY a.conv_id, a.anchor_ts
+        )
+    """).toPandas().sort_values(["conv_id", "anchor_ts"]).reset_index(drop=True)
+    exp.columns = ["conv_id", "anchor_ts", "matched_ts", "turn_idx"]
+
+    # the sentinel anchor itself matches the sentinel feature; drop both
+    got = got[~got["conv_id"].str.startswith("__sent")].reset_index(drop=True)
+    exp = exp[~exp["conv_id"].str.startswith("__sent")].reset_index(drop=True)
+    assert set(got["conv_id"]) == {"c1", "c2", "c3"}  # unmatched anchors kept
+    assert got.loc[got.conv_id == "c2", "matched_ts"].isna().all()
+    assert got.loc[got.conv_id == "c3", "matched_ts"].isna().all()
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
