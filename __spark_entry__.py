@@ -1444,6 +1444,19 @@ def _sql_list(vals) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
 
 
+def _sql_int_list(vals) -> str:
+    return "[" + ", ".join(str(int(v)) for v in vals) + "]"
+
+
+def _minhash_coeffs():
+    from featureengineer_spark.operators.dedup import minhash_perm_coeffs
+
+    return minhash_perm_coeffs(64, 42)
+
+
+_MINHASH_A, _MINHASH_B = _minhash_coeffs()
+
+
 def _gmm_stats_oracle_sql() -> str:
     return (
         _gmm_stats_core_sql()
@@ -2416,10 +2429,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 8
         """,
-        "minhash_lsh": r"""
+        "minhash_lsh": rf"""
             -- full MinHash-LSH replica: same normalization/shingles as
-            -- ngram_jaccard, md5-prefix 60-bit hashes (identical to the
-            -- engine's hash_fn='md5'), 64 perms, 16 bands of 4
+            -- ngram_jaccard; hash-once md5-prefix 60-bit base (identical
+            -- to the engine's hash_fn='md5'), then the universal-hash
+            -- permutation family h_p = (a_p*h + b_p) mod (2^31-1) with
+            -- the engine's seed-derived literal coefficients; 64 perms,
+            -- 16 bands of 4
             WITH w AS (
               SELECT doc_id,
                      string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
@@ -2430,12 +2446,17 @@ def oracle_sql() -> dict[str, str]:
                                    i -> array_to_string(ws[i:i+2], ' '))) AS grams
               FROM w
             ), e AS (
-              SELECT doc_id, unnest(grams) AS sh FROM g
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || unnest(grams)), 1, 15))::BIGINT % 2147483647 AS h
+              FROM g
+            ), coeffs AS (
+              SELECT {_sql_int_list(_MINHASH_A)}::BIGINT[] AS ca,
+                     {_sql_int_list(_MINHASH_B)}::BIGINT[] AS cb
             ), perms AS (SELECT unnest(range(0, 64)) AS p),
             mins AS (
               SELECT e.doc_id, perms.p,
-                     min(('0x' || substr(md5((42 + perms.p)::VARCHAR || ':' || e.sh), 1, 15))::BIGINT) AS mh
-              FROM e CROSS JOIN perms
+                     min((ca[perms.p + 1] * e.h + cb[perms.p + 1]) % 2147483647) AS mh
+              FROM e CROSS JOIN perms CROSS JOIN coeffs
               GROUP BY e.doc_id, perms.p
             ), sig AS (
               SELECT doc_id, list(mh ORDER BY p) AS s FROM mins GROUP BY doc_id

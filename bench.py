@@ -206,6 +206,64 @@ def main() -> None:
     timings["latent_extraction"] = round(lat_s, 4)
     stats.unpersist()
 
+    # LLM-pipeline ops: MinHash-LSH near-dup candidates and IVF ANN search
+    # (the dedup/similarity scale paths — a regression here was invisible
+    # to the bench before round 4). Inputs synthesized deterministically
+    # well past sf0.1's table sizes; corpus materialized OUTSIDE the
+    # timed region so the timing is the operator, not the generator.
+    from featureengineer_spark.operators.dedup import minhash_lsh_candidates
+    from featureengineer_spark.operators.similarity import ann_topk_ivf, train_kmeans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big_docs = (
+        docs.crossJoin(spark.range(4).select(F.col("id").alias("variant")))
+        .select(
+            (F.col("doc_id") * 4 + F.col("variant")).alias("doc_id"),
+            # variant 0 keeps the original text (exact/near dups survive);
+            # others perturb the tail so shingle sets drift apart
+            F.when(F.col("variant") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.format_string("v%d", "variant")))
+            .alias("text"),
+        )
+        # a single-file read crossJoined with range() yields ONE input
+        # partition — which would serialize the whole shingle explode on
+        # one core; spread it like any production table layout would
+        .repartition(int(cpus), "doc_id")
+        .persist()
+    )
+    n_docs = big_docs.count()
+    dedup_s = _best_of(minhash_lsh_candidates(big_docs, num_perm=64, bands=16))
+    timings["dedup_minhash"] = round(dedup_s, 4)
+    big_docs.unpersist()
+
+    ANN_CORPUS, ANN_QUERIES, ANN_DIM = 100_000, 2_000, 64
+    corpus = (
+        spark.range(ANN_CORPUS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(ANN_DIM)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) / 500.0 - 2.0),
+            ).alias("embedding"),
+        )
+        .repartition(int(cpus))
+        .persist()
+    )
+    corpus.count()
+    qs = corpus.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_kmeans(
+        corpus.select("embedding"), k=64, n_iter=2, vec_col="embedding", seed=5
+    )  # quantizer trained once, outside the timed search
+    ann = ann_topk_ivf(
+        corpus, qs, k=10, n_lists=64, n_probe=3, centroids=cents,
+        broadcast_queries=True,
+    )
+    ann_s = _best_of(ann)
+    timings["ann_ivf"] = round(ann_s, 4)
+    corpus.unpersist()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -220,6 +278,8 @@ def main() -> None:
                 "turns_per_sec_window_stack": round(n_turns / windows_s, 1),
                 "turns_per_sec_featurize": round(n_turns / feat_s, 1),
                 "entities_per_sec_latent_extraction": round(N_ENT / lat_s, 1),
+                "docs_per_sec_dedup_minhash": round(n_docs / dedup_s, 1),
+                "ann_queries_per_sec_ivf": round(ANN_QUERIES / ann_s, 1),
             }
         )
     )

@@ -49,8 +49,16 @@ def duplicate_groups(
 
 
 def _word_shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    NOTE: expressions referenced inside a higher-order-function lambda
+    are re-evaluated PER ELEMENT (no common-subexpression elimination
+    across the lambda boundary), so the normalize+split must be bound to
+    a column before the ``transform`` — use ``_exploded_shingles`` for
+    the explode form, which does exactly that. Inlining
+    ``split(normalize(text))`` here would run the two regexes ~|words|
+    times per document (measured ~20× wall on the shingle stage)."""
+    words = F.col(text_col)
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -58,6 +66,14 @@ def _word_shingles(text_col: str, n: int) -> F.Column:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         )
     )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __sh) rows: normalize+split ONCE per doc into a bound column,
+    then shingle-transform + explode over it."""
+    return df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    ).select(F.col(id_col), F.explode(_word_shingles("__w", n)).alias("__sh"))
 
 
 def _md5_long(expr: F.Column) -> F.Column:
@@ -76,6 +92,24 @@ def _seeded_hash(seed_val: int, col: F.Column, hash_fn: str) -> F.Column:
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
+#: Mersenne prime 2^31 - 1: the universal-hash modulus. a*h + b stays
+#: under 2^62 + 2^31, so the arithmetic never overflows BIGINT (ANSI-mode
+#: safe) and replays exactly in DuckDB.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm_coeffs(num_perm: int, seed: int):
+    """Seed-derived (a, b) coefficient lists for the universal-hash
+    permutation family ``h_p = (a_p·h + b_p) mod P`` — shared by the
+    Spark kernel and the DuckDB oracle builder."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=num_perm).tolist()
+    b = rng.integers(0, MINHASH_PRIME, size=num_perm).tolist()
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,18 +119,27 @@ def minhash_signatures(
     seed: int = 42,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: for each of ``num_perm`` seeded hash
-    functions, the min over the doc's shingles. Computed as one explode +
-    one partial-aggregating groupBy (num_perm min() columns) — the
-    classic map-side-combinable formulation. ``hash_fn='md5'`` trades
-    hash speed for a DuckDB-reproducible signature (same minima both
-    engines — used by the oracle-checked gate query)."""
-    ex = df.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, shingle)).alias("__sh")
+    """MinHash signature per doc, hash-once formulation: each shingle is
+    hashed ONE time to a 31-bit base value, and the ``num_perm``
+    "permutations" are the universal-hash family
+    ``h_p = (a_p·h + b_p) mod (2³¹−1)`` with seed-derived coefficients —
+    integer multiply-adds instead of ``num_perm`` string hashes per
+    shingle (the datasketch formulation; ~20× less hashing work at
+    num_perm=64). One explode + one partial-aggregating groupBy with
+    ``num_perm`` min() columns — map-side combinable. ``hash_fn='md5'``
+    trades base-hash speed for a DuckDB-reproducible signature (same
+    minima both engines — used by the oracle-checked gate query)."""
+    p_lit = F.lit(MINHASH_PRIME)
+    base = _seeded_hash(seed, F.col("__sh"), hash_fn)
+    ex = _exploded_shingles(df, id_col, text_col, shingle).select(
+        id_col, F.pmod(base, p_lit).alias("__h")
     )
+    a, b = minhash_perm_coeffs(num_perm, seed)
     mins = ex.groupBy(id_col).agg(
         *[
-            F.min(_seeded_hash(seed + p, F.col("__sh"), hash_fn)).alias(f"mh_{p}")
+            F.min(F.pmod(F.lit(a[p]) * F.col("__h") + F.lit(b[p]), p_lit)).alias(
+                f"mh_{p}"
+            )
             for p in range(num_perm)
         ]
     )
@@ -301,9 +344,7 @@ def ngram_jaccard_pairs(
     then computed over the capped shingle sets on both the intersection
     AND size sides (consistent definition). ``None`` disables the cap.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, n)).alias("__sh")
-    )
+    sh = _exploded_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
         keep = dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh")

@@ -72,7 +72,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores the most word hits wins (ties → lexicographic, 'und' if no
     hits). Pure map-side expressions — at 100 TB this is a free column."""
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    words = F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
+    # one split per row: each per-language filter references the bound
+    # __w_lid column, not its own copy of the regex+split expression
+    words = F.col("__w_lid")
     hits = {
         lang: F.size(
             F.filter(words, lambda x: x.isin(*sw))
@@ -87,8 +89,11 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(h >= best_hits, F.lit(lang)).otherwise(best_lang)
         best_hits = F.greatest(h, best_hits)
     best_lang = F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
-    return df.withColumn("lang_pred", best_lang).withColumn(
-        "lang_hits", best_hits.cast("long")
+    return (
+        df.withColumn("__w_lid", F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " "))
+        .withColumn("lang_pred", best_lang)
+        .withColumn("lang_hits", best_hits.cast("long"))
+        .drop("__w_lid")
     )
 
 
@@ -99,9 +104,15 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     from featureengineer_spark.operators.dedup import _word_shingles, normalize_text
 
     norm = normalize_text(F.col(text_col))
+    # bind the split words to a real column: expressions inside a
+    # higher-order-function lambda are re-evaluated per element, so the
+    # normalize+split must not ride into the shingle transform inline
     shingle_min = F.array_min(
-        F.transform(_word_shingles(text_col, 3), lambda s: F.xxhash64(s))
+        F.transform(_word_shingles("__w_fp", 3), lambda s: F.xxhash64(s))
     )
-    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
-        "fingerprint_shingle", shingle_min
+    return (
+        df.withColumn("__w_fp", F.split(norm, " "))
+        .withColumn("fingerprint_md5", F.md5(norm))
+        .withColumn("fingerprint_shingle", shingle_min)
+        .drop("__w_fp")
     )

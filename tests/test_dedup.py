@@ -75,10 +75,10 @@ def test_ngram_jaccard_cap_bounds_pair_space(docs, spark):
     candidate set: with the cap, the inverted-index join emits pairs only
     for family-internal shingles (within-family pairs), never the
     40·39/2 all-pairs set."""
-    from featureengineer_spark.operators.dedup import _word_shingles
+    from featureengineer_spark.operators.dedup import _exploded_shingles
 
     cap = 10
-    sh = docs.select("doc_id", F.explode(_word_shingles("text", 3)).alias("sh"))
+    sh = _exploded_shingles(docs, "doc_id", "text", 3).withColumnRenamed("__sh", "sh")
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     kept = sh.join(dfreq.filter(F.col("df") <= cap), on="sh")
     # candidate join size = Σ_shingle df² over kept shingles
