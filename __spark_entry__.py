@@ -826,20 +826,38 @@ def q_trial_scores_maha_diag(spark, sf):
     )
 
 
+
+def _deterministic_labeled_emb(spark, sf):
+    """Labeled embeddings under the bit-determinism contract (same idea
+    as ``_deterministic_emb``): explicit hash repartition on the label +
+    local sort on a unique key, so every per-task float accumulation in
+    the LDA/WCCN/PLDA/sphnorm training chain folds in the same order
+    under any session config. With ``em._stable_sum``'s pid-sorted
+    reduce and ``plda._stable_class_layout``'s pinned class frames, the
+    trained models become pure functions of (input file, seed) — so
+    their converged parameters can be captured once and embedded as
+    DuckDB oracle literals."""
+    return (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        .repartition(4, "label")
+        .sortWithinPartitions("label", "vec_id")
+    )
+
+
 def q_sphnorm_plda_scores(spark, sf):
     """The reference's PLDA_Score chain (IVector.py:1398-1455): spherical
     nuisance normalization (sphnorm, :1404-1408) then PLDA scoring over
-    the normalized vectors. Iterative eigensolves → rows-only check."""
-    from featureengineer_spark.operators.plda import train_plda
+    the normalized vectors. Bit-deterministic training chain → the DuckDB
+    oracle replays sphnorm + the pair-LLR quadratic form from captured
+    trained-model literals (scripts/capture_trained_models.py)."""
     from featureengineer_spark.operators.scoring import score_trials_plda
-    from featureengineer_spark.operators.whitening import apply_sphnorm, fit_sphnorm
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
-    )
-    params = fit_sphnorm(emb, vec_col="embedding", n_iter=2)
-    normed = apply_sphnorm(emb, params, vec_col="embedding", out_col="embedding")
-    model = train_plda(normed, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5)
+    normed, params, model = _trained_sphnorm_plda(spark, sf)
     enroll = normed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("enroll_id"), "embedding"
     )
@@ -851,6 +869,57 @@ def q_sphnorm_plda_scores(spark, sf):
     return out.select(
         "enroll_id", "test_id", "is_target", _r(F.col("score"), 4).alias("score")
     )
+
+
+
+def _trained_plda(spark, sf):
+    """Bit-deterministic PLDA training over the contract layout — shared
+    by the gate query and the literal-capture script."""
+    from featureengineer_spark.operators.plda import train_plda
+
+    emb = _deterministic_labeled_emb(spark, sf)
+    return train_plda(
+        emb, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5
+    )
+
+
+def _trained_sphnorm_plda(spark, sf):
+    """sphnorm fit + apply + PLDA training over the normalized vectors —
+    shared by the gate query and the literal-capture script. Returns
+    (normalized frame, sphnorm params, plda model)."""
+    from featureengineer_spark.operators.plda import train_plda
+    from featureengineer_spark.operators.whitening import apply_sphnorm, fit_sphnorm
+
+    emb = _deterministic_labeled_emb(spark, sf)
+    params = fit_sphnorm(emb, vec_col="embedding", n_iter=2)
+    normed = apply_sphnorm(emb, params, vec_col="embedding", out_col="embedding")
+    model = train_plda(
+        normed, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5
+    )
+    return normed, params, model
+
+
+def _trained_lda_wccn(spark, sf):
+    """LDA + WCCN fits over the contract layout. Returns (mu, proj, L)."""
+    from featureengineer_spark.operators.plda import apply_projection, fit_lda, fit_wccn
+
+    emb = _deterministic_labeled_emb(spark, sf)
+    mu, proj = fit_lda(emb, label_col="label", vec_col="embedding", n_components=8)
+    lda_df = apply_projection(emb, proj, mu, out_col="lda_vec")
+    wccn_l = fit_wccn(
+        lda_df.select("label", "lda_vec"), label_col="label", vec_col="lda_vec"
+    )
+    return emb, mu, proj, wccn_l
+
+
+def _trained_lda_wccn_vectors(spark, sf):
+    from featureengineer_spark.operators.plda import apply_projection
+
+    emb, mu, proj, wccn_l = _trained_lda_wccn(spark, sf)
+    lda_df = apply_projection(emb, proj, mu, out_col="lda_vec")
+    return apply_projection(
+        lda_df.select("vec_id", "lda_vec"), wccn_l, vec_col="lda_vec", out_col="embedding"
+    ).select("vec_id", "embedding")
 
 
 def q_min_dcf(spark, sf):
@@ -906,15 +975,13 @@ def q_trial_scores_2cov(spark, sf):
 
 
 def q_trial_scores_plda(spark, sf):
-    """PLDA trial scoring (IVector.py:1398-1455 graft). EM training is
-    iterative → rows-only check; scores rounded for stable output."""
-    from featureengineer_spark.operators.plda import train_plda
+    """PLDA trial scoring (IVector.py:1398-1455 graft). The EM chain is
+    bit-deterministic, so the trained model's (A, B, const) pair-LLR
+    coefficients are captured as literals and the oracle re-derives every
+    score from the joint-Gaussian block formulation."""
     from featureengineer_spark.operators.scoring import score_trials_plda
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
-    )
-    model = train_plda(emb, label_col="label", vec_col="embedding", rank=4, n_iter=3, seed=5)
+    model = _trained_plda(spark, sf)
     enroll, test, trials = _trial_frames(spark, sf)
     out = score_trials_plda(enroll, test, trials, model)
     return out.select(
@@ -924,20 +991,12 @@ def q_trial_scores_plda(spark, sf):
 
 def q_lda_wccn_scores(spark, sf):
     """The reference's cosine+LDA+WCCN scoring chain (log.txt:656-660;
-    IVector.py:1336-1339, 1508-1511). Driver-side eigensolves → rows-only
-    check (values pinned by tests/test_plda.py vs numpy)."""
-    from featureengineer_spark.operators.plda import apply_projection, fit_lda, fit_wccn
+    IVector.py:1336-1339, 1508-1511). The scatter/eigensolve chain is
+    bit-deterministic, so the effective projection (proj·L)ᵀ is captured
+    as literals and the oracle replays projection + cosine per trial."""
     from featureengineer_spark.operators.scoring import score_trials
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
-    )
-    mu, proj = fit_lda(emb, label_col="label", vec_col="embedding", n_components=8)
-    lda_df = apply_projection(emb, proj, mu, out_col="lda_vec")
-    wccn_l = fit_wccn(lda_df.select("label", "lda_vec"), label_col="label", vec_col="lda_vec")
-    final = apply_projection(
-        lda_df.select("vec_id", "lda_vec"), wccn_l, vec_col="lda_vec", out_col="embedding"
-    ).select("vec_id", "embedding")
+    final = _trained_lda_wccn_vectors(spark, sf)
     enroll = final.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("enroll_id"), "embedding"
     )
@@ -1214,19 +1273,42 @@ def q_ann_ivf_fixed(spark, sf):
     )
 
 
+def _ann_ivf_corpus(spark, sf):
+    """Embeddings under the bit-determinism layout contract (see
+    ``_deterministic_labeled_emb``) — makes the trained k-means quantizer
+    reproducible so its centroids can be captured as oracle literals."""
+    return (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .repartition(4, "vec_id")
+        .sortWithinPartitions("vec_id")
+    )
+
+
+def _trained_ivf_centroids(spark, sf):
+    from featureengineer_spark.operators.similarity import train_kmeans
+
+    corpus = _ann_ivf_corpus(spark, sf)
+    return train_kmeans(
+        corpus.select("embedding"), k=16, n_iter=3, vec_col="embedding", seed=0
+    )
+
+
 def q_ann_ivf(spark, sf):
     """IVF ANN: distributed k-means inverted lists + n_probe exact
-    re-rank (the scale path alternative to LSH). Iterative k-means →
-    rows-only check; recall vs exact is pinned by tests/test_dedup.py."""
+    re-rank (the scale path alternative to LSH). The Lloyd iterations are
+    bit-deterministic under the layout contract, so the trained centroids
+    are captured as literals and the DuckDB oracle replays assignment +
+    probe + re-rank exactly (recall vs exact additionally pinned by
+    tests/test_dedup.py)."""
     from featureengineer_spark.operators.similarity import ann_topk_ivf
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    emb = _ann_ivf_corpus(spark, sf)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann_topk_ivf(emb, q, k=5, n_lists=16, n_probe=4, kmeans_iter=3)
+    cents = _trained_ivf_centroids(spark, sf)
+    out = ann_topk_ivf(emb, q, k=5, n_lists=16, n_probe=4, centroids=cents)
     return out.select(
         "query_id", "neighbor_id", "rank", _r(F.col("cosine")).alias("cosine")
     )
@@ -1605,16 +1687,218 @@ def _latent_trained_oracle_sql() -> str:
     )
 
 
-def _ann_ivf_oracle_sql(
-    n_lists: int = 8, n_probe: int = 3, k: int = 5, d: int = 64
-) -> str:
-    """DuckDB replica of fixed-centroid IVF search: per-vector distance
-    d²(c) = ‖c‖² − 2·x·cᵀ from literal centroids (‖c‖² folded in numpy,
-    matching the kernel's broadcast constant), stable argmin / top-n_probe
-    by (d², list), equi join on list id, exact cosine re-rank."""
+
+def _plda_llr_consts(model_key: str):
+    """(a_mat, b_mat, const, mean) for a captured PLDA model — derived
+    via the INDEPENDENT joint-Gaussian block formulation (same
+    cross-check as ``_plda_fixed_oracle_sql``)."""
     import numpy as np
 
-    cents = _fixed_ivf_centroids(n_lists, d)
+    blob = __import__("json").load(
+        open(__import__("os").path.join(
+            __import__("os").path.dirname(__file__), "trained_models_sf001.json"))
+    )[model_key]
+    d = len(blob["mean"])
+    r = blob["rank"]
+    mean = np.array([float(v) for v in blob["mean"]])
+    v = np.array([float(x) for x in blob["v_mat"]]).reshape(d, r)
+    sigma = np.array([float(x) for x in blob["sigma"]]).reshape(d, d)
+    s_b = v @ v.T
+    s_t = s_b + sigma
+    s1 = np.block([[s_t, s_b], [s_b, s_t]])
+    s0 = np.block([[s_t, np.zeros_like(s_t)], [np.zeros_like(s_t), s_t]])
+    w_full = 0.5 * (np.linalg.inv(s0) - np.linalg.inv(s1))
+    const = 0.5 * (np.linalg.slogdet(s0)[1] - np.linalg.slogdet(s1)[1])
+    return w_full[:d, :d], w_full[:d, d:], float(const), mean
+
+
+def _pair_llr_tail_sql(a_mat, b_mat, const, d: int, round_dp: int = 4) -> str:
+    """Shared pair-LLR SQL tail over a CTE ``ev(vec_id, j, x)`` of
+    CENTERED per-dimension values: quadratic forms + cross term +
+    constant, scored over the standard trial mask."""
+    return f"""llr_consts AS (
+              SELECT {_sql_list(a_mat.ravel())}::DOUBLE[] AS am,
+                     {_sql_list(b_mat.ravel())}::DOUBLE[] AS bm
+            ), labels AS (SELECT vec_id, label FROM embeddings),
+            quad AS (
+              SELECT a.vec_id,
+                     sum(a.x * am[(a.j - 1) * {d} + b.j] * b.x) AS q
+              FROM ev a JOIN ev b ON b.vec_id = a.vec_id
+              CROSS JOIN llr_consts
+              GROUP BY a.vec_id
+            ), u AS (
+              SELECT a.vec_id, dims.j,
+                     sum(a.x * bm[(a.j - 1) * {d} + dims.j]) AS uj
+              FROM ev a CROSS JOIN dims CROSS JOIN llr_consts
+              GROUP BY a.vec_id, dims.j
+            ), pairs AS (
+              SELECT e.vec_id AS enroll_id, t.vec_id AS test_id,
+                     (le.label = lt.label) AS is_target
+              FROM embeddings e JOIN embeddings t
+                ON e.vec_id < 20 AND t.vec_id >= 20
+               AND (e.vec_id * 7 + t.vec_id) % 5 = 0
+              JOIN labels le ON le.vec_id = e.vec_id
+              JOIN labels lt ON lt.vec_id = t.vec_id
+            ), cross_term AS (
+              SELECT p.enroll_id, p.test_id,
+                     sum(u.uj * tv.x) AS ebt
+              FROM pairs p
+              JOIN u ON u.vec_id = p.enroll_id
+              JOIN ev tv ON tv.vec_id = p.test_id AND tv.j = u.j
+              GROUP BY 1, 2
+            )
+            SELECT p.enroll_id, p.test_id, p.is_target,
+                   round(qe.q + qt.q + 2.0 * ct.ebt + ({const!r}), {round_dp}) AS score
+            FROM pairs p
+            JOIN quad qe ON qe.vec_id = p.enroll_id
+            JOIN quad qt ON qt.vec_id = p.test_id
+            JOIN cross_term ct
+              ON ct.enroll_id = p.enroll_id AND ct.test_id = p.test_id
+        """
+
+
+def _plda_trained_oracle_sql(d: int = 64) -> str:
+    """Trained-model PLDA trial scoring replayed in DuckDB from captured
+    literals (bit-deterministic EM — see ``_deterministic_labeled_emb``),
+    A/B/const derived via the independent joint-Gaussian formulation."""
+    a_mat, b_mat, const, mean = _plda_llr_consts("plda")
+    return f"""
+            WITH mean_c AS (SELECT {_sql_list(mean)}::DOUBLE[] AS mv),
+            dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            ev AS (
+              SELECT vec_id, dims.j,
+                     CAST(embedding[dims.j] AS DOUBLE) - mv[dims.j] AS x
+              FROM embeddings, dims CROSS JOIN mean_c
+            ), """ + _pair_llr_tail_sql(a_mat, b_mat, const, d)
+
+
+def _sphnorm_plda_oracle_sql(d: int = 64) -> str:
+    """Trained sphnorm→PLDA chain replayed in DuckDB: the two captured
+    (mean, W) whiten+length-norm steps produce the normalized vectors,
+    then the captured PLDA model's pair LLR scores them."""
+    import json as _json
+    import os as _os
+
+    blob = _json.load(
+        open(_os.path.join(_os.path.dirname(__file__), "trained_models_sf001.json"))
+    )["sphnorm"]["params"]
+    import numpy as np
+
+    (m1, w1), (m2, w2) = [
+        (np.array([float(v) for v in m]), np.array([float(v) for v in w]))
+        for m, w in blob
+    ]
+    a_mat, b_mat, const, mean = _plda_llr_consts("plda_sph")
+    return f"""
+            WITH sph_c AS (
+              SELECT {_sql_list(m1)}::DOUBLE[] AS m1,
+                     {_sql_list(w1)}::DOUBLE[] AS w1,
+                     {_sql_list(m2)}::DOUBLE[] AS m2,
+                     {_sql_list(w2)}::DOUBLE[] AS w2,
+                     {_sql_list(mean)}::DOUBLE[] AS mv
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            x AS (
+              SELECT vec_id, dims.j, CAST(embedding[dims.j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ), y1 AS (
+              SELECT x.vec_id, dims.j,
+                     sum((x.v - m1[x.j]) * w1[(dims.j - 1) * {d} + x.j]) AS v
+              FROM x CROSS JOIN dims CROSS JOIN sph_c
+              GROUP BY x.vec_id, dims.j
+            ), n1 AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+                          ELSE sqrt(sum(v * v)) END AS nrm
+              FROM y1 GROUP BY vec_id
+            ), y1n AS (
+              SELECT y1.vec_id, y1.j, y1.v / n1.nrm AS v
+              FROM y1 JOIN n1 ON n1.vec_id = y1.vec_id
+            ), y2 AS (
+              SELECT y1n.vec_id, dims.j,
+                     sum((y1n.v - m2[y1n.j]) * w2[(dims.j - 1) * {d} + y1n.j]) AS v
+              FROM y1n CROSS JOIN dims CROSS JOIN sph_c
+              GROUP BY y1n.vec_id, dims.j
+            ), n2 AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(sum(v * v)) = 0 THEN 1.0
+                          ELSE sqrt(sum(v * v)) END AS nrm
+              FROM y2 GROUP BY vec_id
+            ), ev AS (
+              SELECT y2.vec_id, y2.j, y2.v / n2.nrm - mv[y2.j] AS x
+              FROM y2 JOIN n2 ON n2.vec_id = y2.vec_id CROSS JOIN sph_c
+            ), """ + _pair_llr_tail_sql(a_mat, b_mat, const, d)
+
+
+def _lda_wccn_oracle_sql(d: int = 64) -> str:
+    """Trained LDA+WCCN cosine scoring replayed in DuckDB: the captured
+    effective projection E = proj·L gives y = Eᵀ(x − μ); scores are the
+    cosine of projected trial pairs (zero-norm guard → 0)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    blob = _json.load(
+        open(_os.path.join(_os.path.dirname(__file__), "trained_models_sf001.json"))
+    )["lda_wccn"]
+    r = blob["r"]
+    mu = np.array([float(v) for v in blob["mu"]])
+    eff = np.array([float(v) for v in blob["eff"]])  # (d*r,) row-major
+    return f"""
+            WITH consts AS (
+              SELECT {_sql_list(mu)}::DOUBLE[] AS mu,
+                     {_sql_list(eff)}::DOUBLE[] AS eff
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            rdims AS (SELECT unnest(range(1, {r + 1})) AS i),
+            x AS (
+              SELECT vec_id, dims.j, CAST(embedding[dims.j] AS DOUBLE) AS v
+              FROM embeddings, dims
+            ), proj AS (
+              SELECT x.vec_id, rdims.i,
+                     sum((x.v - mu[x.j]) * eff[(x.j - 1) * {r} + rdims.i]) AS v
+              FROM x CROSS JOIN rdims CROSS JOIN consts
+              GROUP BY x.vec_id, rdims.i
+            ), nrm AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS n FROM proj GROUP BY vec_id
+            ), labels AS (SELECT vec_id, label FROM embeddings),
+            pairs AS (
+              SELECT e.vec_id AS enroll_id, t.vec_id AS test_id,
+                     (le.label = lt.label) AS is_target
+              FROM embeddings e JOIN embeddings t
+                ON e.vec_id < 20 AND t.vec_id >= 20
+               AND (e.vec_id * 7 + t.vec_id) % 5 = 0
+              JOIN labels le ON le.vec_id = e.vec_id
+              JOIN labels lt ON lt.vec_id = t.vec_id
+            ), dots AS (
+              SELECT p.enroll_id, p.test_id, sum(pe.v * pt.v) AS dot
+              FROM pairs p
+              JOIN proj pe ON pe.vec_id = p.enroll_id
+              JOIN proj pt ON pt.vec_id = p.test_id AND pt.i = pe.i
+              GROUP BY 1, 2
+            )
+            SELECT p.enroll_id, p.test_id, p.is_target,
+                   round(CASE WHEN ne.n > 0 AND nt.n > 0
+                              THEN d.dot / (ne.n * nt.n) ELSE 0.0 END, 4) AS score
+            FROM pairs p
+            JOIN dots d ON d.enroll_id = p.enroll_id AND d.test_id = p.test_id
+            JOIN nrm ne ON ne.vec_id = p.enroll_id
+            JOIN nrm nt ON nt.vec_id = p.test_id
+        """
+
+
+def _ann_ivf_oracle_sql(
+    n_lists: int = 8, n_probe: int = 3, k: int = 5, d: int = 64, cents=None
+) -> str:
+    """DuckDB replica of literal-centroid IVF search: per-vector distance
+    d²(c) = ‖c‖² − 2·x·cᵀ from literal centroids (‖c‖² folded in numpy,
+    matching the kernel's broadcast constant), stable argmin / top-n_probe
+    by (d², list), equi join on list id, exact cosine re-rank. Default
+    centroids = the fixed seed-derived set; pass trained centroids to
+    verify the trained-quantizer query."""
+    import numpy as np
+
+    if cents is None:
+        cents = _fixed_ivf_centroids(n_lists, d)
     cn2 = (cents * cents).sum(axis=1)
     return f"""
             WITH emb AS (
@@ -1660,6 +1944,21 @@ def _ann_ivf_oracle_sql(
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
             FROM rr WHERE rank <= {k}
         """
+
+
+def _ann_ivf_trained_oracle_sql() -> str:
+    """Trained-quantizer IVF oracle: literal centroids captured from the
+    bit-deterministic Lloyd run (scripts/capture_trained_models.py)."""
+    import numpy as np
+
+    blob = __import__("json").load(
+        open(__import__("os").path.join(
+            __import__("os").path.dirname(__file__), "trained_models_sf001.json"))
+    )
+    if "ivf_centroids" not in blob:
+        raise KeyError("run scripts/capture_trained_models.py to capture ivf_centroids")
+    cents = np.array([float(v) for v in blob["ivf_centroids"]]).reshape(16, -1)
+    return _ann_ivf_oracle_sql(n_lists=16, n_probe=4, k=5, d=cents.shape[1], cents=cents)
 
 
 def _hyperplane_sigs_sql(
@@ -2398,7 +2697,11 @@ def oracle_sql() -> dict[str, str]:
         "latent_factors_fixed": _latent_fixed_oracle_sql(),
         "gmm_suff_stats": _gmm_stats_trained_oracle_sql(),
         "latent_factors": _latent_trained_oracle_sql(),
+        "trial_scores_plda": _plda_trained_oracle_sql(),
+        "sphnorm_plda_scores": _sphnorm_plda_oracle_sql(),
+        "lda_wccn_scores": _lda_wccn_oracle_sql(),
         "ann_ivf_fixed": _ann_ivf_oracle_sql(),
+        "ann_ivf": _ann_ivf_trained_oracle_sql(),
         "emb_near_dups": _emb_near_dups_oracle_sql(),
         "plda_scores_fixed": _plda_fixed_oracle_sql(),
         "sphnorm_fixed": _sphnorm_fixed_oracle_sql(),

@@ -59,6 +59,19 @@ def _dim(df: DataFrame, vec_col: str) -> int:
     return len(df.select(vec_col).first()[0])
 
 
+def _stable_class_layout(cm: DataFrame, label_col: str, parts: int = 4) -> DataFrame:
+    """Pin a class-statistics frame to a deterministic layout before any
+    per-task float accumulation over it: explicit hash repartition on the
+    label (a pure function of the key; the explicit numPartitions blocks
+    AQE coalescing) + local sort. Without this, a groupBy output's
+    partition count and row order follow the session's shuffle config
+    and fetch order, so per-task partial sums over class rows — and with
+    them the converged LDA/WCCN/PLDA model — drift in the last float
+    bits across sessions. O(|classes|) rows, negligible.
+    """
+    return cm.repartition(parts, label_col).sortWithinPartitions(label_col)
+
+
 def class_means(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", d: int | None = None
 ) -> DataFrame:
@@ -138,7 +151,7 @@ def scatter_matrices(
     d = _dim(df, vec_col)
     vecs = df.select(F.col(vec_col).cast("array<double>").alias(vec_col), F.col(label_col))
     n, sx, sxx = _second_moment(vecs, vec_col, d)
-    cm = class_means(vecs, label_col, vec_col, d)
+    cm = _stable_class_layout(class_means(vecs, label_col, vec_col, d), label_col)
     _, _, class_mm = _second_moment(cm, "mean", d, weight_col="n")
     mu = sx / n
     w_cov = (sxx - class_mm) / n
@@ -284,7 +297,7 @@ def train_plda(
     mu = sx / n
     s_tot = sxx - n * np.outer(mu, mu)  # Σ (x−μ)(x−μ)ᵀ
 
-    cm = class_means(vecs, label_col, vec_col, d)
+    cm = _stable_class_layout(class_means(vecs, label_col, vec_col, d), label_col)
     b_mu = sc.broadcast(mu)
     cls = cm.select(F.col("n").cast("double").alias("n"), "mean")
     # f_c = n_c (μ_c − μ): center the class sums once, keep distributed

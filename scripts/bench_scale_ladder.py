@@ -23,12 +23,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (n_convs, mega, mega_len) — ~1.6M / ~14.7M / ~55M / ~110M turns
+# (n_convs, mega, mega_len) — ~1.6M / ~14.7M / ~55M / ~110M / ~250M turns
 SIZES = [
     (60_000, 3, 100_000),
     (600_000, 6, 200_000),
     (2_400_000, 6, 200_000),
     (4_800_000, 8, 250_000),
+    (10_800_000, 10, 300_000),
 ]
 N_BUCKETS = 256
 REPS = 2

@@ -41,8 +41,47 @@ def main() -> None:
         .sortWithinPartitions("conv_id")
     )
     tv = train_total_variability(stats, ubm, rank=4, n_iter=2, seed=7)
+    import numpy as np
+
+    def _f(arr):
+        return [repr(float(v)) for v in np.asarray(arr).ravel()]
+
+    # LDA+WCCN: capture the EFFECTIVE projection E = proj @ L (64×8) —
+    # final vector = Eᵀ(x − μ); the oracle replays projection + cosine
+    _emb, lda_mu, lda_proj, wccn_l = entry._trained_lda_wccn(spark, sf)
+    eff = np.asarray(lda_proj) @ np.asarray(wccn_l)
+
+    # PLDA on raw embeddings
+    plda = entry._trained_plda(spark, sf)
+
+    # sphnorm chain + PLDA on the normalized embeddings
+    _normed, sph_params, plda_sph = entry._trained_sphnorm_plda(spark, sf)
+
+    ivf_cents = entry._trained_ivf_centroids(spark, sf)
+
     out = {
         "sf_dir": sf,
+        "ivf_centroids": _f(ivf_cents),
+        "lda_wccn": {
+            "mu": _f(lda_mu),
+            "eff": _f(eff),  # (d, r) row-major
+            "r": int(eff.shape[1]),
+        },
+        "plda": {
+            "mean": _f(plda.mean),
+            "v_mat": _f(plda.v_mat),
+            "sigma": _f(plda.sigma),
+            "rank": int(plda.v_mat.shape[1]),
+        },
+        "sphnorm": {
+            "params": [[_f(m), _f(w)] for m, w in sph_params],
+        },
+        "plda_sph": {
+            "mean": _f(plda_sph.mean),
+            "v_mat": _f(plda_sph.v_mat),
+            "sigma": _f(plda_sph.sigma),
+            "rank": int(plda_sph.v_mat.shape[1]),
+        },
         "gmm": {
             "weights": [repr(float(v)) for v in ubm.weights],
             "means": [repr(float(v)) for v in ubm.means.ravel()],
