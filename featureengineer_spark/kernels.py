@@ -259,7 +259,11 @@ def featurize_fast(
         # layout: every conversation wholly inside one input split, the
         # engine's production table layout) → NO exchange at all; only a
         # local sort. Caller must ensure file splits don't break a
-        # conversation (bucketed writes + maxPartitionBytes ≥ file size).
+        # conversation (bucketed writes + maxPartitionBytes ≥ file size);
+        # note Spark splits single files LARGER than maxPartitionBytes
+        # into several tasks, which keeps one input_file_name but breaks
+        # the carry chain — gate a new layout once with
+        # validation.assert_clustered (partition-granularity check).
         prepped = pre.sortWithinPartitions("conv_id", "ts", "turn_idx")
     else:
         prepped = pre.repartition(parts, "conv_id").sortWithinPartitions(

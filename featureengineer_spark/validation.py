@@ -105,7 +105,14 @@ def clustering_violations(
     """Entities spanning more than one input file — violates the
     precondition of the shuffle-free (clustered=True) kernels. Run this
     once per new table layout; a file split mid-conversation would
-    silently corrupt segmented carry state otherwise."""
+    silently corrupt segmented carry state otherwise.
+
+    NOTE: file granularity is necessary but NOT sufficient — Spark also
+    splits single files larger than ``spark.sql.files.maxPartitionBytes``
+    into multiple scan partitions, and a conversation crossing such a
+    split boundary keeps ONE file name but lands in TWO tasks, which this
+    check cannot see. Use :func:`partition_clustering_violations` for the
+    check at the granularity the kernels actually run at."""
     from pyspark.sql import functions as F
 
     # input_file_name() is non-deterministic for the analyzer; project it
@@ -116,3 +123,35 @@ def clustering_violations(
         .agg(F.countDistinct("__file").alias("n_files"))
         .filter(F.col("n_files") > 1)
     )
+
+
+def partition_clustering_violations(df, entity_col: str = "conv_id"):
+    """Entities spanning more than one SCAN PARTITION — the exact
+    precondition of the shuffle-free (clustered=True) kernels, at the
+    granularity they execute at. Catches what the file-level check
+    misses: a bucket file larger than ``maxPartitionBytes`` is split
+    into several tasks (same ``input_file_name``, different partitions),
+    silently breaking a conversation's carry chain mid-file. The probe
+    evaluates ``spark_partition_id()`` on the same leaf scan the kernel
+    would consume (same split rules), one count-distinct aggregation."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(entity_col), F.spark_partition_id().alias("__pid"))
+        .groupBy(entity_col)
+        .agg(F.countDistinct("__pid").alias("n_partitions"))
+        .filter(F.col("n_partitions") > 1)
+    )
+
+
+def assert_clustered(df, entity_col: str = "conv_id") -> None:
+    """Raise if any entity spans multiple scan partitions — pre-flight
+    gate for ``featurize_fast(clustered=True)`` on a new table layout."""
+    n = partition_clustering_violations(df, entity_col).limit(1).count()
+    if n:
+        raise AssertionError(
+            f"clustered-kernel precondition violated: at least one {entity_col} "
+            "spans multiple scan partitions (file split mid-entity — raise "
+            "spark.sql.files.maxPartitionBytes above the largest bucket file, "
+            "or use clustered=False)"
+        )

@@ -209,3 +209,56 @@ def test_ivector_pipeline_survives_sigkill(spark, tmp_path):
         np.vstack(fresh["latent"].to_numpy()),
         rtol=1e-9, atol=1e-12,
     )
+
+
+def test_partition_clustering_violations_catch_intra_file_splits(spark, tmp_path):
+    """The scale failure mode the file-level check cannot see: ONE file
+    bigger than maxPartitionBytes splits into several scan partitions and
+    a conversation crosses the split boundary. The partition-level
+    validator must flag it; the same table read with a large
+    maxPartitionBytes (one split per file) must pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.validation import (
+        assert_clustered,
+        clustering_violations,
+        partition_clustering_violations,
+    )
+
+    path = str(tmp_path / "bigfile")
+    # one conversation, one FILE, enough rows that tiny maxPartitionBytes
+    # will split the file mid-conversation
+    (
+        spark.range(200_000)
+        .select(
+            F.lit("conv_big").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        )
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)  # many row groups
+        .mode("overwrite").parquet(path)
+    )
+
+    split_read = (
+        spark.read.option("maxPartitionBytes", 64 * 1024).parquet(path)
+    )
+    assert split_read.rdd.getNumPartitions() > 1  # file actually split
+    # file-level check is blind to it…
+    assert clustering_violations(split_read).count() == 0
+    # …the partition-level check is not
+    assert partition_clustering_violations(split_read).count() == 1
+    with pytest.raises(AssertionError, match="spans multiple scan partitions"):
+        assert_clustered(split_read)
+
+    # one split per file: raise the open-cost floor above the file size
+    # (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore)))
+    prev = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024 * 1024))
+    try:
+        whole_read = spark.read.parquet(path)
+        assert partition_clustering_violations(whole_read).count() == 0
+        assert_clustered(whole_read)
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev)
