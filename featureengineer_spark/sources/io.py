@@ -54,6 +54,55 @@ def read_transcripts(
     return spark.read.format(file_format).load(path).drop("ts_day", "conv_bucket")
 
 
+def read_clustered(
+    spark: SparkSession,
+    path: str,
+    file_format: str = "parquet",
+    validate: bool = False,
+    entity_col: str = "conv_id",
+    slack: float = 1.25,
+) -> DataFrame:
+    """Read a conv-bucketed store with WHOLE-FILE splits guaranteed — the
+    safe input for the shuffle-free ``clustered=True`` kernels.
+
+    Spark splits a single file larger than the effective split size into
+    several scan partitions (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))), which breaks a conversation's
+    carry chain MID-FILE while keeping one ``input_file_name`` — the
+    failure mode ``validation.partition_clustering_violations`` detects.
+    This reader lists the store, sizes the per-read ``maxPartitionBytes``
+    option to the largest data file (×``slack``), so every file is one
+    split regardless of session config or total size. With
+    ``validate=True`` it additionally runs ``assert_clustered`` (one
+    count-distinct aggregation) before returning — use once per new
+    layout. At 100 TB this is the moment to check the bucket-file sizes
+    are sane (a 10 GB bucket file = a 10 GB task; rebucket instead of
+    raising the split cap without thought)."""
+    import os
+
+    largest = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                largest = max(largest, os.path.getsize(os.path.join(root, f)))
+    reader = spark.read.format(file_format)
+    if largest:
+        cap = str(int(largest * slack))
+        # maxPartitionBytes caps the split size; openCostInBytes raises
+        # the floor (maxSplitBytes = min(cap, max(floor, bytesPerCore))) —
+        # without the floor a small store still splits files at the 4 MB
+        # default. Both are honored as per-read options.
+        reader = reader.option("maxPartitionBytes", cap).option(
+            "openCostInBytes", cap
+        )
+    df = reader.load(path)
+    if validate:
+        from featureengineer_spark.validation import assert_clustered
+
+        assert_clustered(df, entity_col)
+    return df
+
+
 def compact_small_files(
     spark: SparkSession,
     in_path: str,

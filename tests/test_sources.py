@@ -130,3 +130,37 @@ def test_orc_store_roundtrip_and_pruning(spark, transcripts, transcripts_pdf, tm
     big = str(tmp_path / "orc_compact")
     n = compact_small_files(spark, path, big, target_files=3, file_format="orc")
     assert n == transcripts.count()
+
+
+def test_read_clustered_whole_file_splits(spark, tmp_path):
+    """read_clustered must give one scan partition per data file even
+    when (a) the session floor would split a big file, and (b) the small
+    total would otherwise trigger the 4 MB open-cost floor mid-file."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.sources.io import read_clustered
+
+    path = str(tmp_path / "clustered_store")
+    (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("conv_id"),
+            (F.col("id") / 4).cast("int").alias("turn_idx"),
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        )
+        .repartition(4, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.option("parquet.block.size", 64 * 1024)  # many row groups
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # plain read splits the ~5 MB files at the 4 MB open-cost floor…
+    plain = spark.read.parquet(path)
+    clustered = read_clustered(spark, path, validate=True)
+    assert clustered.rdd.getNumPartitions() <= 4
+    from featureengineer_spark.validation import partition_clustering_violations
+
+    assert partition_clustering_violations(clustered).count() == 0
+    # …which the validator on the plain read demonstrates (when it split)
+    if plain.rdd.getNumPartitions() > 4:
+        assert partition_clustering_violations(plain).count() > 0
