@@ -71,6 +71,111 @@ def score_trials(
     return out
 
 
+#: enroll rows above which score_trials_gemm refuses to broadcast the
+#: enroll matrix (at d=400 float64 this caps the broadcast at ~1.6 GB/
+#: 100k — keep well under; the join path has no such bound).
+DEFAULT_MAX_GEMM_ENROLL_ROWS = 200_000
+
+
+def score_trials_gemm(
+    enroll: DataFrame,
+    test: DataFrame,
+    trials: DataFrame,
+    enroll_id: str = "enroll_id",
+    test_id: str = "test_id",
+    vec_col: str = "embedding",
+    max_enroll_rows: int = DEFAULT_MAX_GEMM_ENROLL_ROWS,
+) -> DataFrame:
+    """Broadcast-GEMM cosine trial scorer — same results as
+    :func:`score_trials`, different physical plan for the common shape
+    |enroll| ≪ |test| with a broadcastable trial mask (the reference's
+    ndx shape: thousands of enroll models against a large test stream).
+
+    The enroll matrix, its norms, and the trial table ride ONE broadcast;
+    a single ``mapInArrow`` pass over the TEST side computes each batch's
+    full cosine block as one BLAS matrix product (T_b·Eᵀ), gathers the
+    trial-masked entries, and emits the trial rows (all passthrough
+    columns preserved) with their scores — the per-pair vectors never
+    enter a shuffle and never cross the Arrow boundary (only the test
+    batch does: |batch|·d doubles vs the join path's |trials|·2d). Rows
+    of ``trials`` whose enroll/test id has no vector row are dropped, and
+    zero-norm vectors score 0.0 — identical inner-join semantics.
+
+    Scale: shuffle-free; output size = |trials| rows. Driver/executor
+    memory holds (|enroll| + |trials|)·O(1) — guarded by
+    ``max_enroll_rows``; past it use :func:`score_trials`.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if enroll.limit(max_enroll_rows + 1).count() > max_enroll_rows:
+        raise ValueError(
+            f"score_trials_gemm: enroll side exceeds {max_enroll_rows} rows — "
+            "use score_trials (join path) at this shape"
+        )
+    sc = enroll.sparkSession.sparkContext
+    e_pdf = enroll.toPandas()
+    e_ids = e_pdf.iloc[:, 0].to_numpy()
+    e_mat = (
+        np.vstack(e_pdf[vec_col].to_numpy())
+        if len(e_pdf)
+        else np.zeros((0, 1))
+    )
+    e_norm = np.linalg.norm(e_mat, axis=1)
+    e_row = {eid: i for i, eid in enumerate(e_ids)}
+
+    t_trials = trials.toPandas()
+    # trial rows with an unknown enroll id drop here (inner-join parity)
+    known = t_trials[enroll_id].map(e_row).notna().to_numpy()
+    t_trials = t_trials[known].reset_index(drop=True)
+    t_trials["__e_row"] = t_trials[enroll_id].map(e_row).astype(np.int64)
+    by_test = {
+        tid: grp.index.to_numpy() for tid, grp in t_trials.groupby(test_id)
+    }
+    b = sc.broadcast((e_mat, e_norm, t_trials, by_test))
+
+    out_schema = T.StructType(
+        list(trials.schema.fields) + [T.StructField("score", T.DoubleType())]
+    )
+
+    def kernel(batches):
+        e_m, e_n, tr_pdf, idx_by_test = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            pdf = batch.to_pandas()
+            tids = pdf.iloc[:, 0].to_numpy()
+            x = np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            t_n = np.linalg.norm(x, axis=1)
+            # trial rows touching this batch, with their local test row
+            local_rows, trial_rows = [], []
+            for li, tid in enumerate(tids):
+                rows = idx_by_test.get(tid)
+                if rows is not None:
+                    trial_rows.append(rows)
+                    local_rows.append(np.full(len(rows), li))
+            if not trial_rows:
+                continue
+            trial_rows = np.concatenate(trial_rows)
+            local_rows = np.concatenate(local_rows)
+            # one BLAS block for the whole batch, then a masked gather
+            block = x @ e_m.T  # (batch, |enroll|)
+            e_rows = tr_pdf["__e_row"].to_numpy()[trial_rows]
+            dots = block[local_rows, e_rows]
+            denom = t_n[local_rows] * e_n[e_rows]
+            scores = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+            out = tr_pdf.drop(columns="__e_row").iloc[trial_rows].copy()
+            out["score"] = scores
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return test.select(
+        F.col(test.columns[0]).alias(test_id), F.col(vec_col)
+    ).mapInArrow(kernel, schema=out_schema)
+
+
 def score_trials_mahalanobis(
     enroll: DataFrame,
     test: DataFrame,

@@ -167,3 +167,60 @@ def test_min_dcf_matches_numpy(spark):
         best = min(best, cm * p_tar * miss + cf * (1 - p_tar) * fa)
     exp = best / min(cm * p_tar, cf * (1 - p_tar))
     np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_score_trials_gemm_matches_join_path(spark):
+    """The broadcast-GEMM trial scorer must reproduce score_trials
+    row-for-row: same trial rows (inner-join drop semantics, passthrough
+    columns preserved), same zero-norm guard, allclose scores."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.scoring import score_trials, score_trials_gemm
+
+    d = 16
+
+    def vecs(n, tag):
+        return spark.range(n).select(
+            F.col("id").alias(f"{tag}_id"),
+            F.when(
+                F.col("id") == 3, F.array_repeat(F.lit(0.0), d)  # zero-norm row
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda i: (F.pmod(F.xxhash64(F.col("id"), i, F.lit(tag)), F.lit(200)) / 50.0 - 2.0),
+                )
+            ).alias("embedding"),
+        )
+
+    enroll = vecs(40, "e")
+    test = vecs(300, "t")
+    trials = (
+        enroll.select("e_id").crossJoin(test.select("t_id"))
+        .filter(F.pmod(F.col("e_id") * 7 + F.col("t_id"), F.lit(5)) == 0)
+        .select(
+            F.col("e_id").alias("enroll_id"),
+            F.col("t_id").alias("test_id"),
+            (F.pmod(F.col("e_id") + F.col("t_id"), F.lit(2)) == 0).alias("is_target"),
+        )
+        # a trial row with an unknown enroll id must drop on BOTH paths
+        .unionByName(
+            spark.createDataFrame(
+                [(999_999, 0, True)], "enroll_id long, test_id long, is_target boolean"
+            )
+        )
+    )
+    key = ["enroll_id", "test_id"]
+    jp = (
+        score_trials(enroll, test, trials).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    gp = (
+        score_trials_gemm(enroll, test, trials).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(jp) == len(gp) > 0
+    assert (jp[key + ["is_target"]].values == gp[key + ["is_target"]].values).all()
+    np.testing.assert_allclose(jp.score, gp.score, rtol=1e-9, atol=1e-12)
+    # zero-norm rows scored 0.0 on both paths
+    assert (gp.loc[gp.test_id == 3, "score"] == 0.0).all()
