@@ -79,7 +79,21 @@ def cosine_topk(
     block-partitioned cartesian — |C|-partitions × |Q|-partitions tasks,
     nothing collected or broadcast — which is the honest cost of exact
     all-pairs; prefer ``ann_topk_lsh`` / ``ann_topk_ivf`` at that shape.
+
+    When the query side fits the broadcast budget, the scan runs on the
+    broadcast-GEMM kernel (one corpus pass, per-batch BLAS block +
+    exact partial top-k — shared with ``ann_topk_ivf``, degenerate
+    single-list quantizer): identical results, no |C|×|Q| join rows.
     """
+    use_gemm = broadcast_queries
+    if use_gemm is None:
+        use_gemm = queries.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+    if use_gemm:
+        dim = len(corpus.select(vec_col).first()[0])
+        return _ann_ivf_gemm(
+            corpus, queries, np.zeros((1, dim)), k, 1,
+            id_col, vec_col, query_id_col,
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
