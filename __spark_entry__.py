@@ -803,6 +803,25 @@ def q_dedup_clusters(spark, sf):
     return near_dup_clusters(pairs)
 
 
+
+def q_near_dedup_docs(spark, sf):
+    """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
+    connected components → keep the min-id canonical doc per cluster plus
+    all unpaired docs. DuckDB verifies via the recursive-CTE closure +
+    anti-join."""
+    from featureengineer_spark.operators.dedup import (
+        near_dedup_filter,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    kept = near_dedup_filter(docs, pairs)
+    return kept.select(
+        "doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars")
+    )
+
+
 def q_trial_scores_maha_diag(spark, sf):
     """Diagonal-Mahalanobis trial scoring (IVector.py:1345 graft):
     score = −Σⱼ (eⱼ−tⱼ)²/varⱼ with per-dimension population variances —
@@ -1430,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
         "ann_ivf": q_ann_ivf,
+        "near_dedup_docs": q_near_dedup_docs,
     }
 
 
@@ -2468,6 +2488,50 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
               ON o_custkey = c_custkey
             WHERE c_name IS NOT NULL
+        """,
+        "near_dedup_docs": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM w
+            ), e0 AS (
+              SELECT doc_id, unnest(grams) AS sh FROM g
+            ), e AS (
+              SELECT e0.doc_id, e0.sh FROM e0
+              JOIN (SELECT sh FROM e0 GROUP BY sh HAVING count(*) <= 1000) k
+                ON k.sh = e0.sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+              UNION SELECT id_a, id_a FROM pairs
+              UNION SELECT id_b, id_b FROM pairs
+            ), reach AS (
+              SELECT src AS a, dst AS b FROM edges
+              UNION
+              SELECT r.a, x.dst FROM reach r JOIN edges x ON x.src = r.b
+            ), clusters AS (
+              SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            )
+            SELECT d.doc_id, length(coalesce(d.text, '')) AS n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT doc_id FROM clusters WHERE cluster_id != doc_id
+            )
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE w AS (

@@ -530,3 +530,26 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def near_dedup_filter(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: keep one canonical document per
+    near-dup cluster (the min-id representative) plus every document that
+    appears in no pair — the terminal step of a training-data dedup
+    pipeline (candidate pairs → connected components → filter), composing
+    :func:`near_dup_clusters` with a left-anti join. Shuffle bounded by
+    |pair nodes|, never |df|²; the kept set is the complement of the
+    non-canonical cluster members, so documents outside the pair graph
+    pass through untouched."""
+    clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

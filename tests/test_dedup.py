@@ -375,3 +375,21 @@ def test_similarity_all_pairs_shape_no_broadcast(spark, clustered_vecs):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_near_dedup_filter_keeps_canonicals_and_unpaired(spark):
+    """near_dedup_filter = keep min-id per connected component + all
+    unpaired docs; verified against a hand-computed closure."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.dedup import near_dedup_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # components: {1,2,3} (chain), {5,7}; 0,4,6,8,9 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in near_dedup_filter(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6, 8, 9]
