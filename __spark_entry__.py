@@ -804,6 +804,55 @@ def q_dedup_clusters(spark, sf):
 
 
 
+
+def q_doc_redaction(spark, sf):
+    """PII-style redaction counts + redacted-text digest: the per-class
+    regexp chain (email → URL → IP → long number) replayed in DuckDB
+    (RE2 semantics match Java's for these patterns; 'g' flag = Spark's
+    replace-all)."""
+    from featureengineer_spark.operators.textstats import with_redaction
+
+    out = with_redaction(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        "n_redacted_email", "n_redacted_url", "n_redacted_ip", "n_redacted_number",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+def q_doc_repetition(spark, sf):
+    """Intra-document repetition fractions (Gopher-style rep signal):
+    1 − distinct/total over word 3-grams and words — list arithmetic
+    replayed exactly in DuckDB."""
+    from featureengineer_spark.operators.textstats import with_repetition_stats
+
+    out = with_repetition_stats(_t(spark, sf, "documents"), n=3)
+    return out.select(
+        "doc_id",
+        _r(F.col("rep_3gram_frac")).alias("rep_3gram_frac"),
+        _r(F.col("rep_word_frac")).alias("rep_word_frac"),
+    )
+
+
+def q_doc_contamination(spark, sf):
+    """Benchmark decontamination: corpus docs sharing ≥3 word 8-grams
+    with any doc of a held-out "benchmark" slice (doc_id % 17 == 0),
+    self-pairs excluded — one shingle equi join, df-capped. DuckDB
+    replays the exploded-shingle join."""
+    from featureengineer_spark.operators.textstats import contamination_overlap
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "text"
+    )
+    out = contamination_overlap(
+        docs, bench, bench_id_col="bench_doc_id", n=8, min_shared=3
+    )
+    return out.filter(F.col("corpus_id") != F.col("bench_id")).select(
+        "corpus_id", "bench_id", "n_shared_ngrams"
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1450,6 +1499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latent_factors": q_latent_factors,
         "ann_ivf": q_ann_ivf,
         "near_dedup_docs": q_near_dedup_docs,
+        "doc_redaction": q_doc_redaction,
+        "doc_repetition": q_doc_repetition,
+        "doc_contamination": q_doc_contamination,
     }
 
 
@@ -2488,6 +2540,79 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
               ON o_custkey = c_custkey
             WHERE c_name IS NOT NULL
+        """,
+        "doc_redaction": r"""
+            WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_redacted_email,
+                     regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM s0
+            ), s2 AS (
+              SELECT doc_id, n_redacted_email,
+                     len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_redacted_url,
+                     regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_redacted_email, n_redacted_url,
+                     len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_redacted_ip,
+                     regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, n_redacted_email, n_redacted_url, n_redacted_ip,
+                     len(regexp_extract_all(t, '\b\d{7,}\b')) AS n_redacted_number,
+                     regexp_replace(t, '\b\d{7,}\b', '<NUMBER>', 'g') AS t
+              FROM s3
+            )
+            SELECT doc_id, n_redacted_email, n_redacted_url, n_redacted_ip,
+                   n_redacted_number, md5(t) AS redacted_md5
+            FROM s4
+        """,
+        "doc_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, ws,
+                     list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                    i -> array_to_string(ws[i:i+2], ' ')) AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(grams) > 0
+                         THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                         ELSE 0.0 END, 6) AS rep_3gram_frac,
+                   round(CASE WHEN len(ws) > 0
+                         THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+                         ELSE 0.0 END, 6) AS rep_word_frac
+            FROM g
+        """,
+        "doc_contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-7, 1)+1),
+                                   i -> array_to_string(ws[i:i+7], ' '))) AS grams
+              FROM w
+            ), ce0 AS (
+              SELECT doc_id AS corpus_id, unnest(grams) AS sh FROM g
+            ), ce AS (
+              SELECT ce0.corpus_id, ce0.sh FROM ce0
+              JOIN (SELECT sh FROM ce0 GROUP BY sh HAVING count(*) <= 1000) k
+                ON k.sh = ce0.sh
+            ), be AS (
+              SELECT doc_id AS bench_id, unnest(grams) AS sh FROM g
+              WHERE doc_id % 17 = 0
+            )
+            SELECT ce.corpus_id, be.bench_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_ngrams
+            FROM ce JOIN be ON be.sh = ce.sh
+            GROUP BY 1, 2
+            HAVING count(*) >= 3 AND ce.corpus_id != be.bench_id
         """,
         "near_dedup_docs": r"""
             WITH RECURSIVE w AS (

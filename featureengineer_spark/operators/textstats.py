@@ -116,3 +116,113 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint_shingle", shingle_min)
         .drop("__w_fp")
     )
+
+
+#: PII-ish patterns for training-data redaction: email, URL, IPv4, and
+#: long digit runs (phone/account numbers). Order matters — URL before
+#: the digit run so "example.com/1234" redacts as one URL.
+REDACTION_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("URL", r"https?://[^\s]+"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("NUMBER", r"\b\d{7,}\b"),
+)
+
+
+def with_redaction(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII-style redaction for training corpora: each pattern class is
+    replaced by its ``<CLASS>`` tag, with a per-class match count emitted
+    alongside (``n_redacted_email`` …) so a pipeline can quarantine
+    high-PII documents instead of silently laundering them. Pure
+    ``regexp_replace``/``regexp_count`` chain — whole-stage codegen, zero
+    Python, free at 100 TB relative to the scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    redacted = t
+    for name, pat in REDACTION_PATTERNS:
+        out = out.withColumn(
+            f"n_redacted_{name.lower()}",
+            F.regexp_count(redacted, F.lit(pat)).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name}>")
+    return out.withColumn(out_col, redacted)
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition (the Gopher-style rep filter signal):
+    the fraction of word n-gram instances that are duplicates of an
+    earlier instance — ``1 − |distinct n-grams| / |n-grams|`` — plus the
+    same for single words. Heavily repetitive machine-generated text
+    scores high; 0 means all n-grams unique. JVM higher-order functions
+    over a bound words column (no per-element rebinding)."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    words = F.col("__w_rep")
+    n_words = F.size(words)
+    k = F.greatest(n_words - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(words, i, n), " ")
+    )
+    gram_rep = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(0.0)
+    word_rep = F.when(
+        n_words > 0, 1.0 - F.size(F.array_distinct(words)) / n_words
+    ).otherwise(0.0)
+    return (
+        df.withColumn(
+            "__w_rep",
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        )
+        .withColumn(f"rep_{n}gram_frac", gram_rep)
+        .withColumn("rep_word_frac", word_rep)
+        .drop("__w_rep")
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥
+    ``min_shared`` word ``n``-grams with any benchmark document — the
+    standard n-gram-collision check run before training on scraped data
+    (long n-grams ⇒ near-verbatim overlap). Returns one row per
+    contaminated (corpus doc, benchmark doc) pair with the shared count.
+
+    Physical shape: both sides explode to (id, shingle) and meet in ONE
+    equi join on the shingle — shuffle bounded by the exploded sizes,
+    never |corpus|×|benchmark|. ``max_shingle_df`` drops corpus shingles
+    more frequent than the cap first (boilerplate phrases would otherwise
+    fan out quadratically — same scale guard as ``ngram_jaccard_pairs``);
+    benchmark sides are small by nature and stay uncapped."""
+    from featureengineer_spark.operators.dedup import _exploded_shingles
+
+    c = _exploded_shingles(corpus, id_col, text_col, n).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    if max_shingle_df is not None:
+        dfreq = c.groupBy("__sh").agg(F.count("*").alias("__df"))
+        c = c.join(
+            dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh"), on="__sh"
+        )
+    b = _exploded_shingles(benchmark, bench_id_col, text_col, n).withColumnRenamed(
+        bench_id_col, "bench_id"
+    )
+    return (
+        c.join(b, on="__sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )

@@ -1,0 +1,68 @@
+"""Training-data text operators: redaction, repetition, contamination."""
+
+
+def test_redaction_patterns_and_counts(spark):
+    from featureengineer_spark.operators.textstats import with_redaction
+
+    rows = [
+        (1, "mail me at a.b+c@example.com or visit https://x.io/p?q=1 now"),
+        (2, "server 10.0.255.7 logged card 12345678 twice: 12345678"),
+        (3, None),
+        (4, "clean text with a short number 123"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_redaction(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["n_redacted_email"] == 1 and out[1]["n_redacted_url"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"] and "<URL>" in out[1]["text_redacted"]
+    assert "example.com" not in out[1]["text_redacted"].replace("<EMAIL>", "")
+    assert out[2]["n_redacted_ip"] == 1 and out[2]["n_redacted_number"] == 2
+    assert out[2]["text_redacted"].count("<NUMBER>") == 2
+    assert out[3]["text_redacted"] == ""
+    assert out[4]["text_redacted"] == rows[3][1]  # untouched
+
+
+def test_repetition_stats_values(spark):
+    from featureengineer_spark.operators.textstats import with_repetition_stats
+
+    rows = [
+        (1, "a b c a b c a b c"),     # 9 words (3 distinct); 7 3-grams, 3 distinct
+        (2, "all words are unique here"),
+        (3, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=3
+        ).collect()
+    }
+    assert abs(out[1]["rep_word_frac"] - (1 - 3 / 9)) < 1e-9
+    assert abs(out[1]["rep_3gram_frac"] - (1 - 3 / 7)) < 1e-9
+    assert out[2]["rep_word_frac"] == 0.0 and out[2]["rep_3gram_frac"] == 0.0
+    assert out[3]["rep_word_frac"] == 0.0
+
+
+def test_contamination_overlap_finds_verbatim_spans(spark):
+    from featureengineer_spark.operators.textstats import contamination_overlap
+
+    span = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words here " + span + " suffix words"),
+            (2, "completely unrelated text about spark window functions and joins"),
+            (3, span),  # exact benchmark text
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, span)], "bench_doc_id long, text string")
+    got = {
+        (r["corpus_id"], r["bench_id"]): r["n_shared_ngrams"]
+        for r in contamination_overlap(
+            corpus, bench, bench_id_col="bench_doc_id", n=8, min_shared=3
+        ).collect()
+    }
+    assert set(got) == {(1, 100), (3, 100)}  # doc 2 clean
+    assert got[(3, 100)] >= got[(1, 100)] >= 3
