@@ -322,3 +322,29 @@ def stream_sliding_activity(
             "assistant_turns",
         )
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized-text hash — the streaming
+    form of ``dedup.dedup_exact`` for an ingest pipeline: the FIRST
+    arrival of each normalized text passes, later copies drop.
+
+    ``dropDuplicatesWithinWatermark`` keys the state on the 64-bit hash
+    and expires it once the watermark passes, so state is bounded by the
+    distinct-hash arrival rate within the watermark horizon rather than
+    the full corpus — the honest streaming trade-off: a duplicate
+    arriving later than ``watermark`` after its original is NOT caught
+    (route those to the batch dedup in the next compaction pass).
+    Keep-first differs from the batch min-id representative when arrival
+    order differs from id order; batch remains the canonical pass."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    hashed = stream.withColumn(
+        "__text_hash", F.xxhash64(normalize_text(F.col(text_col)))
+    ).withWatermark(ts_col, watermark)
+    return hashed.dropDuplicatesWithinWatermark(["__text_hash"]).drop("__text_hash")

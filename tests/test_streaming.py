@@ -440,3 +440,55 @@ def test_stream_stream_asof_left_outer_keeps_unmatched_anchors(spark, tmp_path):
     assert got.loc[got.conv_id == "c2", "matched_ts"].isna().all()
     assert got.loc[got.conv_id == "c3", "matched_ts"].isna().all()
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_stream_dedup_exact_matches_batch_distinct(spark, tmp_path):
+    """Streaming exact dedup must emit exactly one row per distinct
+    normalized text (all dups inside the watermark horizon here), same
+    distinct-text set as the batch dedup."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.dedup import normalize_text
+    from featureengineer_spark.streaming.sessions import stream_dedup_exact
+
+    src = str(tmp_path / "dedup_in")
+    rows = [
+        (i, f"Doc body number {i % 7}!", f"2024-03-01 10:{i:02d}:00")
+        for i in range(40)
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # all arrivals lie inside one watermark horizon → exact global dedup;
+    # (a dup arriving later than the horizon after its original would
+    # pass — the documented streaming trade-off)
+    q = (
+        stream_dedup_exact(stream, watermark="2 hours")
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+    assert len(got) == 7  # one per distinct text
+    batch_texts = {
+        r[0]
+        for r in spark.read.parquet(src)
+        .select(normalize_text(F.col("text")))
+        .distinct()
+        .collect()
+    }
+    got_norm = {
+        r[0]
+        for r in spark.createDataFrame(got[["text"]])
+        .select(normalize_text(F.col("text")))
+        .collect()
+    }
+    assert got_norm == batch_texts
