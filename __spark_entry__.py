@@ -1427,7 +1427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minhash_lsh, filters). scripts/check_oracle.py still value-checks
     # every oracle-backed entry, window or tail.
     return {
-        "inter_event_latency": q_inter_event_latency,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "backfill": q_backfill,
@@ -1439,7 +1438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "join_rollup": q_join_rollup,
         "anti_join": q_anti_join,
-        "union_distinct": q_union_distinct,
         "left_join": q_left_join,
         "except_all": q_except_all,
         "count_distinct": q_count_distinct,
@@ -1451,11 +1449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "multikey_join": q_multikey_join,
         "right_join": q_right_join,
-        "map_lookup": q_map_lookup,
         "unpivot_stack": q_unpivot_stack,
         "global_stats": q_global_stats,
         "conv_embedding": q_conv_embedding,
-        "regex_extract": q_regex_extract,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
         "media_features": q_media_features,
@@ -1477,10 +1473,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "emb_near_dups": q_emb_near_dups,
+        "near_dedup_docs": q_near_dedup_docs,
+        "doc_redaction": q_doc_redaction,
+        "doc_repetition": q_doc_repetition,
+        "doc_contamination": q_doc_contamination,
         # --- entries 51+ sit past the driver's 50-query window: first the
         # round-1..3-certified stable queries displaced by the rotation
         # above, then the genuinely rows-only trained/iterative variants
         # whose kernels have fixed-model ✔SQL twins in the window.
+        "inter_event_latency": q_inter_event_latency,
+        "union_distinct": q_union_distinct,
+        "map_lookup": q_map_lookup,
+        "regex_extract": q_regex_extract,
         "lag_lead": q_lag_lead,
         "rolling_counts": q_rolling_counts,
         "filters": q_filters,
@@ -1498,10 +1502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
         "ann_ivf": q_ann_ivf,
-        "near_dedup_docs": q_near_dedup_docs,
-        "doc_redaction": q_doc_redaction,
-        "doc_repetition": q_doc_repetition,
-        "doc_contamination": q_doc_contamination,
     }
 
 
