@@ -158,3 +158,39 @@ def test_lsh_and_ivf_candidate_joins_never_cartesian(spark):
     plan = _plan(ann_topk_ivf(emb, q, k=3, n_lists=4, centroids=cents))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_round4_doc_operators_never_cartesian(spark):
+    """The round-4 document-pipeline operators must stay equi-join
+    shaped: near-dup removal, contamination overlap, and the minhash
+    candidate chain produce no CartesianProduct/BroadcastNestedLoopJoin
+    at any plan node."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dedup_filter,
+        ngram_jaccard_pairs,
+    )
+    from featureengineer_spark.operators.textstats import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 9} with padding words") for i in range(60)],
+        "doc_id long, text string",
+    ).cache()
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "text"
+    )
+    plans = {
+        "near_dedup_filter": near_dedup_filter(
+            docs, ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+        ),
+        "contamination": contamination_overlap(
+            docs, bench, bench_id_col="bench_doc_id", n=4
+        ),
+        "minhash": minhash_lsh_candidates(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
