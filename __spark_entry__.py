@@ -853,6 +853,21 @@ def q_doc_contamination(spark, sf):
     )
 
 
+
+def q_doc_unigram_logprob(spark, sf):
+    """Per-document mean unigram log-probability (KenLM-proxy quality
+    signal), self-scored against the corpus model — explode, vocab count,
+    smoothed log, per-doc mean all replayed in DuckDB."""
+    from featureengineer_spark.operators.textstats import with_unigram_logprob
+
+    out = with_unigram_logprob(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        _r(F.col("mean_word_logprob")).alias("mean_word_logprob"),
+        "n_scored_words",
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1502,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm_suff_stats": q_gmm_suff_stats,
         "latent_factors": q_latent_factors,
         "ann_ivf": q_ann_ivf,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
     }
 
 
@@ -2613,6 +2629,28 @@ def oracle_sql() -> dict[str, str]:
             FROM ce JOIN be ON be.sh = ce.sh
             GROUP BY 1, 2
             HAVING count(*) >= 3 AND ce.corpus_id != be.bench_id
+        """,
+        "doc_unigram_logprob": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(
+                trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT doc_id, word FROM w WHERE word != ''
+            ), counts AS (
+              SELECT word, count(*) AS n FROM wf GROUP BY word
+            ), tot AS (
+              SELECT sum(n) AS total, count(*) AS vocab FROM counts
+            ), per_doc AS (
+              SELECT wf.doc_id,
+                     avg(ln((counts.n + 1.0) / (tot.total + tot.vocab + 1.0))) AS m,
+                     CAST(count(*) AS BIGINT) AS n_scored_words
+              FROM wf JOIN counts ON counts.word = wf.word CROSS JOIN tot
+              GROUP BY wf.doc_id
+            )
+            SELECT d.doc_id, round(per_doc.m, 6) AS mean_word_logprob,
+                   per_doc.n_scored_words
+            FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
         """,
         "near_dedup_docs": r"""
             WITH RECURSIVE w AS (

@@ -226,3 +226,74 @@ def contamination_overlap(
         .agg(F.count("*").alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= min_shared)
     )
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus unigram model: (word, n, logp) with add-one smoothing over
+    the observed vocabulary — one explode + one count aggregation
+    (map-side combinable; shuffle bounded by |vocab|). The KenLM-proxy
+    half of :func:`with_unigram_logprob`."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__vocab")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        "n",
+        F.log((F.col("n") + 1.0) / (F.col("__total") + F.col("__vocab") + 1.0)).alias(
+            "logp"
+        ),
+        "__total",
+        "__vocab",
+    )
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the classic cheap
+    fluency/quality signal (a KenLM-score proxy): gibberish and
+    vocabulary-mismatched documents score far below corpus-typical text.
+
+    ``model`` defaults to a model fit on ``df`` itself (self-scoring);
+    pass a model built on a reference corpus (``unigram_model``) to
+    score against a domain. Out-of-vocabulary words take the smoothed
+    floor ``log(1/(total+V+1))``. Physical shape: explode → equi join on
+    the word (Catalyst broadcasts a small vocab automatically) → one
+    per-doc aggregation; shuffle bounded by total token count."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    if model is None:
+        model = unigram_model(df, text_col)
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    totals = model.agg(
+        F.first("__total").alias("__t"), F.first("__vocab").alias("__v")
+    )
+    oov = F.log(1.0 / (F.col("__t") + F.col("__v") + 1.0))
+    scored = doc_words.join(
+        model.select("word", "logp"), on="word", how="left"
+    ).crossJoin(F.broadcast(totals))
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg(F.coalesce(F.col("logp"), oov)).alias("mean_word_logprob"),
+        F.count("*").alias("n_scored_words"),
+    )
+    return df.join(per_doc, on=id_col, how="left")

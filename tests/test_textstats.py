@@ -66,3 +66,43 @@ def test_contamination_overlap_finds_verbatim_spans(spark):
     }
     assert set(got) == {(1, 100), (3, 100)}  # doc 2 clean
     assert got[(3, 100)] >= got[(1, 100)] >= 3
+
+
+def test_unigram_logprob_matches_python_oracle(spark):
+    import math
+
+    from featureengineer_spark.operators.textstats import with_unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zyx qwv unseen gibberish tokens"),
+        (4, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_unigram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # python oracle with the same add-one smoothing
+    words = []
+    for _, t in rows:
+        words += (t or "").lower().split()
+    from collections import Counter
+
+    c = Counter(words)
+    total, vocab = sum(c.values()), len(c)
+
+    def logp(w):
+        return math.log((c[w] + 1.0) / (total + vocab + 1.0))
+
+    for did, t in rows:
+        ws = (t or "").lower().split()
+        if not ws:
+            assert out[did]["mean_word_logprob"] is None
+            continue
+        exp = sum(logp(w) for w in ws) / len(ws)
+        assert abs(out[did]["mean_word_logprob"] - exp) < 1e-9, did
+    # common-word doc scores higher than the gibberish doc
+    assert out[1]["mean_word_logprob"] > out[3]["mean_word_logprob"]
