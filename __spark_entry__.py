@@ -868,6 +868,37 @@ def q_doc_unigram_logprob(spark, sf):
     )
 
 
+
+def q_doc_sample_stratified(spark, sf):
+    """Deterministic per-language stratified sample (md5-hash variant so
+    DuckDB replays the identical keep set): hash-threshold selection is a
+    pure function of (seed, doc_id) — partitioning/rerun invariant."""
+    from featureengineer_spark.operators.curation import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf, "documents"),
+        {"en": 0.5, "es": 0.2, "fr": 0.1},
+        strata_col="lang",
+        seed=7,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_doc_pack_sequences(spark, sf):
+    """Greedy contiguous sequence packing at a 512-token budget over
+    whitespace token counts, deterministic doc_id order — the window
+    cumulative sum replayed in DuckDB."""
+    from featureengineer_spark.operators.curation import pack_sequences
+    from featureengineer_spark.operators.textstats import with_token_counts
+
+    docs = with_token_counts(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    out = pack_sequences(docs, budget=512)
+    return out.select("doc_id", "n_tokens", "seq_idx", "seq_offset")
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1518,6 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latent_factors": q_latent_factors,
         "ann_ivf": q_ann_ivf,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_pack_sequences": q_doc_pack_sequences,
     }
 
 
@@ -2629,6 +2662,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ce JOIN be ON be.sh = ce.sh
             GROUP BY 1, 2
             HAVING count(*) >= 3 AND ce.corpus_id != be.bench_id
+        """,
+        "doc_sample_stratified": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                  < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 200000
+                              WHEN 'fr' THEN 100000 ELSE 0 END
+        """,
+        "doc_pack_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+              FROM toks
+            )
+            SELECT doc_id, n_tokens,
+                   cum_excl // 512 AS seq_idx,
+                   cum_excl % 512 AS seq_offset
+            FROM c
         """,
         "doc_unigram_logprob": r"""
             WITH w AS (

@@ -1,0 +1,97 @@
+"""Corpus curation operators: deterministic sampling and sequence packing.
+
+The last mile of a training-data pipeline after dedup/quality/decontam:
+pick a weighted mix of the surviving documents (reproducibly — a re-run
+must select the same rows) and pack them into fixed-token-budget
+training sequences. Both are pure DataFrame expressions: the sampler is
+a hash threshold (the engine's seeded-random discipline,
+``data/synth.py`` F9 — no ``rand()``, ever), the packer is one window
+cumulative sum, so both scale as a map stage + one bounded window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: hash-threshold denominator: fractions resolve to ~1e-6 granularity
+SAMPLE_DENOM = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash(seed, id) mod 1e6 < fraction(stratum) · 1e6``.
+
+    Unlike ``df.sample``/``sampleBy`` the decision is a pure function of
+    (seed, id) — re-runs, retries, and different partitionings select
+    EXACTLY the same rows (the property a resumable curation pipeline
+    needs), and the same id keeps consistent fate across fraction
+    *increases* (raising a stratum's fraction only ADDS rows — nested
+    samples for scaling-law ladders). ``hash_fn='md5'`` uses the
+    DuckDB-reproducible 60-bit md5 prefix for the oracle-checked variant;
+    xxhash64 is the production default."""
+    from featureengineer_spark.operators.dedup import _md5_long
+
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    elif hash_fn == "md5":
+        h = _md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    bucket = F.pmod(h, F.lit(SAMPLE_DENOM))
+    thresh = F.coalesce(
+        *(
+            [
+                F.when(
+                    F.col(strata_col) == F.lit(k), F.lit(int(v * SAMPLE_DENOM))
+                )
+                for k, v in fractions.items()
+            ]
+            + [F.lit(int(default_fraction * SAMPLE_DENOM))]
+        )
+    )
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents, in deterministic
+    ``id_col`` order (per shard), fill training sequences of ``budget``
+    tokens — the standard "sample packing" step before tokenized-corpus
+    writes. Emits ``seq_idx`` (which sequence the doc starts in) and
+    ``seq_offset`` (token offset inside it).
+
+    Semantics: a doc starts in the sequence its exclusive cumulative sum
+    falls in (``seq_idx = floor(cumsum_excl / budget)``) — the concat-
+    then-chunk packing (docs may straddle a boundary, exactly like
+    concatenated-token training streams). One window cumulative sum per
+    shard; for unsharded 100 TB inputs pass a ``shard_col`` (e.g. a hash
+    bucket) so no single window partition holds the corpus — packing is
+    then deterministic per shard, which is how training shards are
+    consumed anyway."""
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy(F.lit(0))
+    ).orderBy(F.col(id_col))
+    cum_excl = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return df.withColumn("__cum_excl", cum_excl).select(
+        "*",
+        (F.col("__cum_excl") / budget).cast("long").alias("seq_idx"),
+        F.pmod(F.col("__cum_excl"), F.lit(budget)).cast("long").alias("seq_offset"),
+    ).drop("__cum_excl")

@@ -1,0 +1,66 @@
+"""Curation operators: deterministic stratified sampling + packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from featureengineer_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    a = stratified_sample(df, {"en": 0.5, "fr": 0.1}, "lang", seed=7)
+    b = stratified_sample(
+        df.repartition(13), {"en": 0.5, "fr": 0.1}, "lang", seed=7
+    )
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b  # partitioning-independent, re-run identical
+    n_en = sum(1 for i in ids_a if i % 3)
+    n_fr = len(ids_a) - n_en
+    assert abs(n_en / 2000 - 0.5) < 0.05 and abs(n_fr / 1000 - 0.1) < 0.05
+    # nested: raising a fraction only ADDS rows
+    bigger = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": 0.8, "fr": 0.1}, "lang", seed=7).collect()
+    }
+    assert ids_a <= bigger
+    # unmapped strata default to 0
+    extra = df.unionByName(
+        spark.createDataFrame([(99999, "de")], "doc_id long, lang string")
+    )
+    assert (
+        stratified_sample(extra, {"en": 0.5, "fr": 0.1}, "lang", seed=7)
+        .filter("lang = 'de'").count() == 0
+    )
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    from featureengineer_spark.operators.curation import pack_sequences
+
+    rows = [(i, [40, 100, 80, 30, 60, 200, 10][i]) for i in range(7)]
+    out = {
+        r.doc_id: (r.seq_idx, r.seq_offset)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, n_tokens long"), budget=128
+        ).collect()
+    }
+    # exclusive cumsums: 0, 40, 140, 220, 250, 310, 510
+    assert out == {
+        0: (0, 0), 1: (0, 40), 2: (1, 12), 3: (1, 92),
+        4: (1, 122), 5: (2, 54), 6: (3, 126),
+    }
+    # sharded: packing restarts per shard, deterministic per shard
+    sharded = pack_sequences(
+        spark.createDataFrame(
+            [(i, 100, i % 2) for i in range(8)], "doc_id long, n_tokens long, shard int"
+        ),
+        budget=250,
+        shard_col="shard",
+    )
+    got = {(r.shard, r.doc_id): (r.seq_idx, r.seq_offset) for r in sharded.collect()}
+    assert got[(0, 0)] == (0, 0) and got[(0, 2)] == (0, 100)
+    assert got[(0, 4)] == (0, 200) and got[(0, 6)] == (1, 50)
+    assert got[(1, 1)] == (0, 0) and got[(1, 7)] == (1, 50)
