@@ -899,6 +899,33 @@ def q_doc_pack_sequences(spark, sf):
     return out.select("doc_id", "n_tokens", "seq_idx", "seq_offset")
 
 
+
+def q_session_quality(spark, sf):
+    """Conversation-quality profile mapped onto the events stream (the
+    gate tables' transcript analog): entity=user, turn order=event_id,
+    'user'/'assistant' roles = click/purchase — every aggregate (counts,
+    alternation violations in the click/purchase subsequence, empty-props
+    fraction, mean props length, first-role flag) replayed in DuckDB."""
+    from featureengineer_spark.operators.curation import conversation_quality
+
+    out = conversation_quality(
+        _t(spark, sf, "events"),
+        entity_col="user_id",
+        idx_col="event_id",
+        role_col="event_type",
+        text_col="props",
+        user_role="click",
+        assistant_role="purchase",
+    )
+    return out.select(
+        "user_id", "n_turns", "n_user_turns", "n_assistant_turns",
+        "alternation_violations",
+        _r(F.col("empty_text_frac")).alias("empty_text_frac"),
+        _r(F.col("mean_turn_chars")).alias("mean_turn_chars"),
+        "starts_with_user",
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1551,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "session_quality": q_session_quality,
     }
 
 
@@ -2708,6 +2736,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(per_doc.m, 6) AS mean_word_logprob,
                    per_doc.n_scored_words
             FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+        """,
+        "session_quality": r"""
+            WITH base AS (
+              SELECT user_id, event_id, event_type,
+                     coalesce(props, '') AS t,
+                     event_type IN ('click', 'purchase') AS ua
+              FROM events
+            ), lagged AS (
+              SELECT *,
+                     last_value(CASE WHEN ua THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ua,
+                     first_value(CASE WHEN ua THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ua
+              FROM base
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+                   CAST(sum(CASE WHEN ua AND event_type = prev_ua THEN 1 ELSE 0 END) AS BIGINT) AS alternation_violations,
+                   round(sum(CASE WHEN length(trim(t)) = 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS empty_text_frac,
+                   round(avg(length(t)), 6) AS mean_turn_chars,
+                   (first(first_ua) = 'click') AS starts_with_user
+            FROM lagged
+            GROUP BY user_id
         """,
         "near_dedup_docs": r"""
             WITH RECURSIVE w AS (

@@ -95,3 +95,61 @@ def pack_sequences(
         (F.col("__cum_excl") / budget).cast("long").alias("seq_idx"),
         F.pmod(F.col("__cum_excl"), F.lit(budget)).cast("long").alias("seq_offset"),
     ).drop("__cum_excl")
+
+
+def conversation_quality(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation quality profile for chat-data curation — the
+    conversation-level analog of the per-document quality score: one row
+    per conversation with the gate signals a transcript-training pipeline
+    filters on:
+
+    * ``n_turns``, ``n_user_turns``, ``n_assistant_turns``
+    * ``alternation_violations`` — adjacent same-role turn pairs in
+      ``turn_idx`` order (user/assistant only; system/tool rows between
+      them don't count as violations)
+    * ``empty_text_frac`` — fraction of turns with blank text
+    * ``mean_turn_chars``
+    * ``starts_with_user`` — first non-system turn is a user turn
+
+    One window pass (lag over the role sequence) + one aggregation —
+    shuffle bounded by |turns| then |conversations|."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(idx_col))
+    ua = F.col(role_col).isin(user_role, assistant_role)
+    prev_ua_role = F.last(
+        F.when(ua, F.col(role_col)), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    violation = (ua & (F.col(role_col) == prev_ua_role)).cast("long")
+    first_ua = F.first(F.when(ua, F.col(role_col)), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(
+            entity_col,
+            F.col(role_col),
+            violation.alias("__viol"),
+            first_ua.alias("__first_ua"),
+            F.length(t).alias("__chars"),
+            (F.length(F.trim(t)) == 0).cast("long").alias("__empty"),
+        )
+        .groupBy(entity_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col(role_col) == user_role).cast("long")).alias("n_user_turns"),
+            F.sum((F.col(role_col) == assistant_role).cast("long")).alias(
+                "n_assistant_turns"
+            ),
+            F.sum("__viol").alias("alternation_violations"),
+            (F.sum("__empty") / F.count("*")).alias("empty_text_frac"),
+            F.avg("__chars").alias("mean_turn_chars"),
+            (F.first("__first_ua") == user_role).alias("starts_with_user"),
+        )
+    )

@@ -64,3 +64,35 @@ def test_pack_sequences_concat_then_chunk(spark):
     assert got[(0, 0)] == (0, 0) and got[(0, 2)] == (0, 100)
     assert got[(0, 4)] == (0, 200) and got[(0, 6)] == (1, 50)
     assert got[(1, 1)] == (0, 0) and got[(1, 7)] == (1, 50)
+
+
+def test_conversation_quality_profile(spark):
+    from featureengineer_spark.operators.curation import conversation_quality
+
+    rows = [
+        # c1: clean alternation with a system turn interleaved
+        ("c1", 0, "system", "be helpful"),
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "assistant", "hello"),
+        ("c1", 3, "user", "q"),
+        ("c1", 4, "assistant", "a"),
+        # c2: double assistant turn (1 violation), one empty text,
+        # starts with assistant
+        ("c2", 0, "assistant", "unprompted"),
+        ("c2", 1, "assistant", ""),
+        ("c2", 2, "user", "ok"),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in conversation_quality(
+            spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+        ).collect()
+    }
+    c1 = out["c1"]
+    assert c1["n_turns"] == 5 and c1["n_user_turns"] == 2 and c1["n_assistant_turns"] == 2
+    assert c1["alternation_violations"] == 0 and c1["starts_with_user"]
+    assert c1["empty_text_frac"] == 0.0
+    c2 = out["c2"]
+    assert c2["alternation_violations"] == 1
+    assert not c2["starts_with_user"]
+    assert abs(c2["empty_text_frac"] - 1 / 3) < 1e-9
