@@ -1490,41 +1490,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-4 window ROTATION (see COVERAGE.md): the driver certifies only
-    # the first 50 entries, so the 10 oracle-backed queries that had only
-    # local verification (cumulative … emb_near_dups) plus the new
-    # media_features_real move INTO the window; 11 queries displaced to
-    # the tail each hold a driver-certified green row from rounds 1-3
-    # (lag_lead, rolling_counts, det_curve, min_dcf, trial_scores,
-    # deterministic_crop, dedup_groups, ngram_jaccard, knn_cosine,
-    # minhash_lsh, filters). scripts/check_oracle.py still value-checks
-    # every oracle-backed entry, window or tail.
+    # Round-5 window ROTATION (see COVERAGE.md): the driver certifies only
+    # the first 50 entries. This round the 10 queries that have never held
+    # a driver-certified row move INTO the window — the 6 trained-model
+    # queries (gmm_suff_stats, latent_factors, trial_scores_plda,
+    # sphnorm_plda_scores, lda_wccn_scores, ann_ivf) and the 4 late-round-4
+    # curation queries (doc_unigram_logprob, doc_sample_stratified,
+    # doc_pack_sequences, session_quality). Displaced to the tail: 10
+    # queries each certified green in ALL FOUR prior rounds (anti_join,
+    # asof_purchase_click, backfill, conv_embedding, count_distinct,
+    # doc_fingerprint, doc_lang_id, doc_quality, doc_token_stats,
+    # except_all). scripts/check_oracle.py still value-checks every
+    # oracle-backed entry, window or tail.
     return {
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
-        "backfill": q_backfill,
         "sliding_norm": q_sliding_norm,
         "group_norm": q_group_norm,
         "group_norm_scaled": q_group_norm_scaled,
-        "asof_purchase_click": q_asof_purchase_click,
         "topk_events": q_topk_events,
         "pricing_summary": q_pricing_summary,
         "join_rollup": q_join_rollup,
-        "anti_join": q_anti_join,
         "left_join": q_left_join,
-        "except_all": q_except_all,
-        "count_distinct": q_count_distinct,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "interval_session_lookup": q_interval_session_lookup,
         "holdout_split": q_holdout_split,
         "multikey_join": q_multikey_join,
         "right_join": q_right_join,
         "unpivot_stack": q_unpivot_stack,
         "global_stats": q_global_stats,
-        "conv_embedding": q_conv_embedding,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
         "media_features": q_media_features,
@@ -1550,10 +1543,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redaction": q_doc_redaction,
         "doc_repetition": q_doc_repetition,
         "doc_contamination": q_doc_contamination,
-        # --- entries 51+ sit past the driver's 50-query window: first the
-        # round-1..3-certified stable queries displaced by the rotation
-        # above, then the genuinely rows-only trained/iterative variants
-        # whose kernels have fixed-model ✔SQL twins in the window.
+        "gmm_suff_stats": q_gmm_suff_stats,
+        "latent_factors": q_latent_factors,
+        "trial_scores_plda": q_trial_scores_plda,
+        "sphnorm_plda_scores": q_sphnorm_plda_scores,
+        "lda_wccn_scores": q_lda_wccn_scores,
+        "ann_ivf": q_ann_ivf,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "session_quality": q_session_quality,
+        # --- entries 51+ sit past the driver's 50-query window; every one
+        # holds a driver-certified green row from a prior round
+        # (CORRECTNESS_r0{1,2,3,4}) and stays value-checked each round by
+        # scripts/check_oracle.py.
         "inter_event_latency": q_inter_event_latency,
         "union_distinct": q_union_distinct,
         "map_lookup": q_map_lookup,
@@ -1569,16 +1572,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_curve": q_det_curve,
         "min_dcf": q_min_dcf,
         "minhash_lsh": q_minhash_lsh,
-        "sphnorm_plda_scores": q_sphnorm_plda_scores,
-        "trial_scores_plda": q_trial_scores_plda,
-        "lda_wccn_scores": q_lda_wccn_scores,
-        "gmm_suff_stats": q_gmm_suff_stats,
-        "latent_factors": q_latent_factors,
-        "ann_ivf": q_ann_ivf,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_sample_stratified": q_doc_sample_stratified,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "session_quality": q_session_quality,
+        "anti_join": q_anti_join,
+        "asof_purchase_click": q_asof_purchase_click,
+        "backfill": q_backfill,
+        "conv_embedding": q_conv_embedding,
+        "count_distinct": q_count_distinct,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_token_stats": q_doc_token_stats,
+        "except_all": q_except_all,
     }
 
 

@@ -62,12 +62,20 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+#: unsharded ``pack_sequences`` refuses inputs beyond this row count —
+#: a global concat-then-chunk packing is a single window partition, so
+#: one task would hold the whole corpus. Pass ``shard_col`` (or raise
+#: ``max_unsharded_rows``) past this point.
+PACK_UNSHARDED_ROW_LIMIT = 5_000_000
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    max_unsharded_rows: int = PACK_UNSHARDED_ROW_LIMIT,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: documents, in deterministic
     ``id_col`` order (per shard), fill training sequences of ``budget``
@@ -76,13 +84,35 @@ def pack_sequences(
     ``seq_offset`` (token offset inside it).
 
     Semantics: a doc starts in the sequence its exclusive cumulative sum
-    falls in (``seq_idx = floor(cumsum_excl / budget)``) — the concat-
-    then-chunk packing (docs may straddle a boundary, exactly like
+    falls in (``seq_idx = cumsum_excl div budget``, exact integer
+    division — a double-division quotient's ULP can exceed 1/budget once
+    a shard holds ~2^44·budget tokens and misplace boundary docs) — the
+    concat-then-chunk packing (docs may straddle a boundary, exactly like
     concatenated-token training streams). One window cumulative sum per
-    shard; for unsharded 100 TB inputs pass a ``shard_col`` (e.g. a hash
-    bucket) so no single window partition holds the corpus — packing is
-    then deterministic per shard, which is how training shards are
-    consumed anyway."""
+    shard.
+
+    Scale guard: with ``shard_col=None`` the whole input flows through
+    ONE window partition (global contiguous packing needs a total
+    order), so the unsharded path is gated by a limit-bounded count
+    probe and raises past ``max_unsharded_rows`` rows — pass a
+    ``shard_col`` (e.g. a hash bucket) so no single partition holds the
+    corpus; packing is then deterministic per shard, which is how
+    training shards are consumed anyway."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shard_col is None:
+        # Limit-bounded probe: scans at most max_unsharded_rows+1 rows,
+        # never the full input, and only on the unsharded path.
+        probe = df.select(id_col).limit(max_unsharded_rows + 1).count()
+        if probe > max_unsharded_rows:
+            raise ValueError(
+                f"pack_sequences(shard_col=None) would route >"
+                f"{max_unsharded_rows:,} rows through a single window "
+                "partition (global contiguous packing is a total order). "
+                "Pass shard_col= (e.g. a hash bucket column) to pack per "
+                "shard, or raise max_unsharded_rows if you accept the "
+                "single-task cost."
+            )
     w = (
         Window.partitionBy(shard_col) if shard_col else Window.partitionBy(F.lit(0))
     ).orderBy(F.col(id_col))
@@ -92,7 +122,7 @@ def pack_sequences(
     ).cast("long")
     return df.withColumn("__cum_excl", cum_excl).select(
         "*",
-        (F.col("__cum_excl") / budget).cast("long").alias("seq_idx"),
+        F.expr(f"__cum_excl div {int(budget)}").alias("seq_idx"),
         F.pmod(F.col("__cum_excl"), F.lit(budget)).cast("long").alias("seq_offset"),
     ).drop("__cum_excl")
 

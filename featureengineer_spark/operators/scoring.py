@@ -76,6 +76,13 @@ def score_trials(
 #: 100k — keep well under; the join path has no such bound).
 DEFAULT_MAX_GEMM_ENROLL_ROWS = 200_000
 
+#: trial rows above which score_trials_gemm refuses to collect the trial
+#: table to the driver — the trial mask rides the broadcast alongside
+#: the enroll matrix and scales with |test|·trials-per-test, so it needs
+#: its own guard (20M rows of (ids + passthrough) is already ~GB-scale
+#: pandas on the driver; the join path has no such bound).
+DEFAULT_MAX_GEMM_TRIAL_ROWS = 20_000_000
+
 
 def score_trials_gemm(
     enroll: DataFrame,
@@ -85,6 +92,7 @@ def score_trials_gemm(
     test_id: str = "test_id",
     vec_col: str = "embedding",
     max_enroll_rows: int = DEFAULT_MAX_GEMM_ENROLL_ROWS,
+    max_trial_rows: int = DEFAULT_MAX_GEMM_TRIAL_ROWS,
 ) -> DataFrame:
     """Broadcast-GEMM cosine trial scorer — same results as
     :func:`score_trials`, different physical plan for the common shape
@@ -102,8 +110,9 @@ def score_trials_gemm(
     zero-norm vectors score 0.0 — identical inner-join semantics.
 
     Scale: shuffle-free; output size = |trials| rows. Driver/executor
-    memory holds (|enroll| + |trials|)·O(1) — guarded by
-    ``max_enroll_rows``; past it use :func:`score_trials`.
+    memory holds (|enroll| + |trials|)·O(1) — both sides guarded
+    (``max_enroll_rows`` / ``max_trial_rows``, each a limit-bounded
+    count); past either cap use :func:`score_trials`.
     """
     import numpy as np
     import pandas as pd
@@ -115,6 +124,12 @@ def score_trials_gemm(
         raise ValueError(
             f"score_trials_gemm: enroll side exceeds {max_enroll_rows} rows — "
             "use score_trials (join path) at this shape"
+        )
+    if trials.limit(max_trial_rows + 1).count() > max_trial_rows:
+        raise ValueError(
+            f"score_trials_gemm: trial table exceeds {max_trial_rows} rows — "
+            "the trial mask is collected to the driver and broadcast, which "
+            "scales with |test|; use score_trials (join path) at this shape"
         )
     sc = enroll.sparkSession.sparkContext
     e_pdf = enroll.toPandas()

@@ -24,6 +24,30 @@ from pyspark.sql.window import Window
 DEFAULT_MAX_BROADCAST_ROWS = 100_000
 
 
+#: session-lifetime memo for the small-side probes below:
+#: (session id, plan semanticHash, cap) → bool. N similarity calls over
+#: the same query table fire ONE limit-bounded count job, not N — the
+#: same discipline as ``skew._HEAVY_PROBE_CACHE``. Keys on the logical
+#: plan, not the data; pass ``broadcast_queries=True/False`` explicitly
+#: for a table whose files mutate mid-session.
+_SMALL_PROBE_CACHE: dict[tuple, bool] = {}
+_SMALL_PROBE_CACHE_MAX = 256
+
+
+def _fits_rows(df: DataFrame, cap: int) -> bool:
+    """Memoized limit-bounded row-count probe: True iff ``df`` has at
+    most ``cap`` rows. Reads at most ``cap``+1 rows, never a full scan;
+    one job per (session, plan, cap) for the session's lifetime."""
+    ck = (id(df.sparkSession), df.semanticHash(), int(cap))
+    if ck in _SMALL_PROBE_CACHE:
+        return _SMALL_PROBE_CACHE[ck]
+    out = df.limit(cap + 1).count() <= cap
+    if len(_SMALL_PROBE_CACHE) >= _SMALL_PROBE_CACHE_MAX:
+        _SMALL_PROBE_CACHE.pop(next(iter(_SMALL_PROBE_CACHE)))
+    _SMALL_PROBE_CACHE[ck] = out
+    return out
+
+
 def _broadcast_if_small(
     q: DataFrame,
     broadcast: bool | None,
@@ -38,7 +62,8 @@ def _broadcast_if_small(
     NOT broadcast the corpus at itself. ``broadcast=None`` decides with
     a limit-bounded count — an EAGER Spark job at plan-construction time
     that reads at most ``max_rows``+1 rows, never a full scan of a huge
-    query side; pass True/False to force and skip the probe job.
+    query side, memoized per (session, plan, cap) via ``_fits_rows``;
+    pass True/False to force and skip the probe job.
     ``count_on`` lets the caller supply a cheaper frame to count (e.g.
     the raw query table before a UDF/explode projection) together with a
     per-row ``fanout`` multiplier, so the probe job never executes the
@@ -46,7 +71,7 @@ def _broadcast_if_small(
     if broadcast is None:
         probe = q if count_on is None else count_on
         cap = max(max_rows // max(fanout, 1), 1)
-        broadcast = probe.limit(cap + 1).count() <= cap
+        broadcast = _fits_rows(probe, cap)
     return F.broadcast(q) if broadcast else q
 
 
@@ -87,13 +112,19 @@ def cosine_topk(
     """
     use_gemm = broadcast_queries
     if use_gemm is None:
-        use_gemm = queries.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+        use_gemm = _fits_rows(queries, max_broadcast_rows)
     if use_gemm:
-        dim = len(corpus.select(vec_col).first()[0])
-        return _ann_ivf_gemm(
-            corpus, queries, np.zeros((1, dim)), k, 1,
-            id_col, vec_col, query_id_col,
-        )
+        # dim probe doubles as the empty/null-corpus guard: the join path
+        # returns an empty result for these inputs, so the GEMM path must
+        # degrade the same way, not raise on first()[0].
+        row = corpus.select(vec_col).first()
+        if row is None or row[0] is None:
+            use_gemm = False
+        else:
+            return _ann_ivf_gemm(
+                corpus, queries, np.zeros((1, len(row[0]))), k, 1,
+                id_col, vec_col, query_id_col,
+            )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

@@ -259,11 +259,20 @@ def unigram_model(
     )
 
 
+#: vocab rows up to which the unigram model is broadcast by default —
+#: ~2M (word, logp) rows is tens of MB, far under executor budgets, and
+#: a min_count-capped natural-language vocab sits well below it.
+MAX_BROADCAST_VOCAB_ROWS = 2_000_000
+
+
 def with_unigram_logprob(
     df: DataFrame,
     model: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    max_broadcast_vocab: int = MAX_BROADCAST_VOCAB_ROWS,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the classic cheap
     fluency/quality signal (a KenLM-score proxy): gibberish and
@@ -273,8 +282,21 @@ def with_unigram_logprob(
     pass a model built on a reference corpus (``unigram_model``) to
     score against a domain. Out-of-vocabulary words take the smoothed
     floor ``log(1/(total+V+1))``. Physical shape: explode → equi join on
-    the word (Catalyst broadcasts a small vocab automatically) → one
-    per-doc aggregation; shuffle bounded by total token count."""
+    the word → one per-doc aggregation; shuffle bounded by total token
+    count.
+
+    Zipf skew: ``word`` is a heavily skewed join key (the "the"/"of"
+    partitions dwarf the tail), so a shuffle join on it is hot-partition
+    bound at corpus scale. The model side is therefore BROADCAST
+    whenever it fits ``max_broadcast_vocab`` rows (decided by a
+    memoized limit-bounded probe when ``broadcast_model=None``; a
+    ``min_count``-capped vocab always fits) — a broadcast hash join has
+    no shuffle on ``word`` at all, eliminating the skew. For a vocab too
+    large to broadcast, pass ``salt_partitions=S`` to replicate each
+    model row across S salt values and hash-scatter the exploded words,
+    splitting every head word across S reducers (cost: S× the model
+    shuffle, which is the cheap side by assumption); otherwise the
+    shuffle join relies on AQE skew-join splitting."""
     from featureengineer_spark.operators.dedup import normalize_text
 
     if model is None:
@@ -289,9 +311,27 @@ def with_unigram_logprob(
         F.first("__total").alias("__t"), F.first("__vocab").alias("__v")
     )
     oov = F.log(1.0 / (F.col("__t") + F.col("__v") + 1.0))
-    scored = doc_words.join(
-        model.select("word", "logp"), on="word", how="left"
-    ).crossJoin(F.broadcast(totals))
+    vocab = model.select("word", "logp")
+    if broadcast_model is None:
+        from featureengineer_spark.operators.similarity import _fits_rows
+
+        broadcast_model = _fits_rows(vocab, max_broadcast_vocab)
+    if broadcast_model:
+        scored = doc_words.join(F.broadcast(vocab), on="word", how="left")
+    elif salt_partitions > 1:
+        s = int(salt_partitions)
+        vocab_s = vocab.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        doc_words = doc_words.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
+        )
+        scored = doc_words.join(
+            vocab_s, on=["word", "__salt"], how="left"
+        ).drop("__salt")
+    else:
+        scored = doc_words.join(vocab, on="word", how="left")
+    scored = scored.crossJoin(F.broadcast(totals))
     per_doc = scored.groupBy(id_col).agg(
         F.avg(F.coalesce(F.col("logp"), oov)).alias("mean_word_logprob"),
         F.count("*").alias("n_scored_words"),

@@ -54,6 +54,28 @@ def read_transcripts(
     return spark.read.format(file_format).load(path).drop("ts_day", "conv_bucket")
 
 
+def _pinned_split_session(spark: SparkSession, cap: str) -> SparkSession:
+    """Child session with ``spark.sql.files.maxPartitionBytes`` AND
+    ``openCostInBytes`` pinned to ``cap`` (cap bounds the split size,
+    the open-cost floor stops small files being coalesced-split at the
+    4 MB default: maxSplitBytes = min(cap, max(floor, bytesPerCore))).
+
+    File-split planning reads these keys from the SESSION conf at
+    execution time — per-read reader options are ignored — so pinning
+    them on a child session is the only way to guarantee whole-file
+    splits without mutating the caller's session. ``cloneSession``
+    keeps the caller's runtime conf overrides (``newSession`` would
+    silently reset e.g. a runtime ``shuffle.partitions`` override back
+    to the builder value — verified empirically)."""
+    try:
+        child = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
+    except Exception:  # pragma: no cover - Connect / future API drift
+        child = spark.newSession()
+    child.conf.set("spark.sql.files.maxPartitionBytes", cap)
+    child.conf.set("spark.sql.files.openCostInBytes", cap)
+    return child
+
+
 def read_clustered(
     spark: SparkSession,
     path: str,
@@ -70,14 +92,26 @@ def read_clustered(
     max(openCostInBytes, bytesPerCore))), which breaks a conversation's
     carry chain MID-FILE while keeping one ``input_file_name`` — the
     failure mode ``validation.partition_clustering_violations`` detects.
-    This reader lists the store, sizes the per-read ``maxPartitionBytes``
-    option to the largest data file (×``slack``), so every file is one
-    split regardless of session config or total size. With
-    ``validate=True`` it additionally runs ``assert_clustered`` (one
-    count-distinct aggregation) before returning — use once per new
-    layout. At 100 TB this is the moment to check the bucket-file sizes
-    are sane (a 10 GB bucket file = a 10 GB task; rebucket instead of
-    raising the split cap without thought)."""
+    This reader lists the store, sizes the split cap to the largest data
+    file (×``slack``), and executes the scan under a DEDICATED child
+    session whose ``spark.sql.files.maxPartitionBytes`` /
+    ``openCostInBytes`` confs are pinned to that cap, so every file is
+    one split regardless of the caller session's config or total size.
+    The child session is required for correctness, not hygiene:
+    per-read ``DataFrameReader.option(...)`` forms of these two keys are
+    silently IGNORED by Spark's file-split planning (splitting consults
+    only the session confs ``spark.sql.files.*``, at execution time —
+    verified empirically on Spark 4.1: the session conf moves a 13 MB
+    file's scan between 1 and 200+ partitions while the per-read option
+    changes nothing). The child is a ``cloneSession`` (shares the
+    SparkContext; inherits the caller's runtime conf overrides, e.g.
+    ``shuffle.partitions``, then pins the two file confs), falling back
+    to ``newSession`` + a conf copy where the clone API is unavailable.
+    With ``validate=True`` it additionally runs ``assert_clustered``
+    (one count-distinct aggregation) before returning — use once per
+    new layout. At 100 TB this is the moment to check the bucket-file
+    sizes are sane (a 10 GB bucket file = a 10 GB task; rebucket
+    instead of raising the split cap without thought)."""
     import os
 
     largest = 0
@@ -85,17 +119,11 @@ def read_clustered(
         for f in files:
             if not f.startswith(("_", ".")):
                 largest = max(largest, os.path.getsize(os.path.join(root, f)))
-    reader = spark.read.format(file_format)
+    session = spark
     if largest:
         cap = str(int(largest * slack))
-        # maxPartitionBytes caps the split size; openCostInBytes raises
-        # the floor (maxSplitBytes = min(cap, max(floor, bytesPerCore))) —
-        # without the floor a small store still splits files at the 4 MB
-        # default. Both are honored as per-read options.
-        reader = reader.option("maxPartitionBytes", cap).option(
-            "openCostInBytes", cap
-        )
-    df = reader.load(path)
+        session = _pinned_split_session(spark, cap)
+    df = session.read.format(file_format).load(path)
     if validate:
         from featureengineer_spark.validation import assert_clustered
 

@@ -96,3 +96,23 @@ def test_conversation_quality_profile(spark):
     assert c2["alternation_violations"] == 1
     assert not c2["starts_with_user"]
     assert abs(c2["empty_text_frac"] - 1 / 3) < 1e-9
+
+
+def test_pack_sequences_unsharded_guard(spark):
+    """The unsharded path routes everything through ONE window partition,
+    so it must refuse large inputs instead of silently serializing them;
+    shard_col and an explicit raised cap both stay available."""
+    from featureengineer_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100, i % 4) for i in range(50)], "doc_id long, n_tokens long, shard int"
+    )
+    with pytest.raises(ValueError, match="single window partition"):
+        pack_sequences(df, budget=128, max_unsharded_rows=10).collect()
+    # sharded path: no guard needed, no single global window
+    assert pack_sequences(df, budget=128, shard_col="shard",
+                          max_unsharded_rows=10).count() == 50
+    # explicit opt-in past the cap
+    assert pack_sequences(df, budget=128, max_unsharded_rows=50).count() == 50
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)

@@ -393,3 +393,51 @@ def test_near_dedup_filter_keeps_canonicals_and_unpaired(spark):
     )
     kept = sorted(r.doc_id for r in near_dedup_filter(docs, pairs).collect())
     assert kept == [0, 1, 4, 5, 6, 8, 9]
+
+
+def test_small_probe_memoized_one_job(spark, monkeypatch):
+    """Auto-broadcast probes are limit-bounded counts memoized per
+    (session, plan, cap): two similarity calls over the same query frame
+    must fire ONE probe job, and forced broadcast_queries skips it."""
+    import featureengineer_spark.operators.similarity as sim
+
+    sim._SMALL_PROBE_CACHE.clear()
+    q = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "query_id long, embedding array<double>",
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is an abstract facade; instances are classic.DataFrame subclasses)
+    cls = type(q)
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    assert sim._fits_rows(q, 100) is True
+    first = calls["n"]
+    assert sim._fits_rows(q, 100) is True
+    assert calls["n"] == first  # memo hit: no second job
+    # a different cap is a different contract → new probe
+    assert sim._fits_rows(q, 200) is True
+    assert calls["n"] == first + 1
+
+
+def test_cosine_topk_empty_corpus_degrades(spark):
+    """GEMM fast path must degrade like the join path on an empty or
+    null-vector corpus: empty result, not a TypeError from the dim
+    probe."""
+    from featureengineer_spark.operators.similarity import cosine_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    nullvec = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    assert cosine_topk(empty, q, k=3).count() == 0
+    assert cosine_topk(nullvec, q, k=3).count() == 0

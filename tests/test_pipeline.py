@@ -241,16 +241,22 @@ def test_partition_clustering_violations_catch_intra_file_splits(spark, tmp_path
         .mode("overwrite").parquet(path)
     )
 
-    split_read = (
-        spark.read.option("maxPartitionBytes", 64 * 1024).parquet(path)
-    )
-    assert split_read.rdd.getNumPartitions() > 1  # file actually split
-    # file-level check is blind to it…
-    assert clustering_violations(split_read).count() == 0
-    # …the partition-level check is not
-    assert partition_clustering_violations(split_read).count() == 1
-    with pytest.raises(AssertionError, match="spans multiple scan partitions"):
-        assert_clustered(split_read)
+    # per-read .option("maxPartitionBytes", …) is IGNORED by file-split
+    # planning — only the session conf is consulted — so set the conf to
+    # guarantee the split rather than relying on the bytesPerCore floor
+    prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        split_read = spark.read.parquet(path)
+        assert split_read.rdd.getNumPartitions() > 1  # file actually split
+        # file-level check is blind to it…
+        assert clustering_violations(split_read).count() == 0
+        # …the partition-level check is not
+        assert partition_clustering_violations(split_read).count() == 1
+        with pytest.raises(AssertionError, match="spans multiple scan partitions"):
+            assert_clustered(split_read)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
 
     # one split per file: raise the open-cost floor above the file size
     # (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore)))

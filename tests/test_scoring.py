@@ -224,3 +224,25 @@ def test_score_trials_gemm_matches_join_path(spark):
     np.testing.assert_allclose(jp.score, gp.score, rtol=1e-9, atol=1e-12)
     # zero-norm rows scored 0.0 on both paths
     assert (gp.loc[gp.test_id == 3, "score"] == 0.0).all()
+
+
+def test_score_trials_gemm_trial_table_guard(spark):
+    """The trial mask rides the driver broadcast and scales with |test|,
+    so it needs its own cap with an actionable error, like the enroll
+    side has."""
+    import pytest
+    from featureengineer_spark.operators.scoring import score_trials_gemm
+
+    enroll = spark.createDataFrame(
+        [(f"e{i}", [1.0, 0.0]) for i in range(3)],
+        "enroll_id string, embedding array<double>",
+    )
+    test = spark.createDataFrame(
+        [(f"t{i}", [0.0, 1.0]) for i in range(4)],
+        "test_id string, embedding array<double>",
+    )
+    trials = enroll.select("enroll_id").crossJoin(test.select("test_id"))
+    with pytest.raises(ValueError, match="trial table exceeds"):
+        score_trials_gemm(enroll, test, trials, max_trial_rows=5)
+    # under the cap: normal results
+    assert score_trials_gemm(enroll, test, trials).count() == 12

@@ -133,12 +133,19 @@ def test_orc_store_roundtrip_and_pruning(spark, transcripts, transcripts_pdf, tm
 
 
 def test_read_clustered_whole_file_splits(spark, tmp_path):
-    """read_clustered must give one scan partition per data file even
-    when (a) the session floor would split a big file, and (b) the small
-    total would otherwise trigger the 4 MB open-cost floor mid-file."""
+    """The REAL whole-file-split contract, pinned un-vacuously: under a
+    session whose effective split size is smaller than the bucket files,
+    the plain read MUST split files mid-conversation (asserted
+    unconditionally — this is what makes the test meaningful), and
+    read_clustered of the same store must still yield exactly one scan
+    partition per file with zero clustering violations. Per-read
+    DataFrameReader options cannot achieve this (Spark's file-split
+    planning consults only the session confs spark.sql.files.*), which
+    is why read_clustered executes under a conf-pinned child session."""
     from pyspark.sql import functions as F
 
     from featureengineer_spark.sources.io import read_clustered
+    from featureengineer_spark.validation import partition_clustering_violations
 
     path = str(tmp_path / "clustered_store")
     (
@@ -154,13 +161,23 @@ def test_read_clustered_whole_file_splits(spark, tmp_path):
         .mode("overwrite")
         .parquet(path)
     )
-    # plain read splits the ~5 MB files at the 4 MB open-cost floor…
-    plain = spark.read.parquet(path)
-    clustered = read_clustered(spark, path, validate=True)
-    assert clustered.rdd.getNumPartitions() <= 4
-    from featureengineer_spark.validation import partition_clustering_violations
-
-    assert partition_clustering_violations(clustered).count() == 0
-    # …which the validator on the plain read demonstrates (when it split)
-    if plain.rdd.getNumPartitions() > 4:
-        assert partition_clustering_violations(plain).count() > 0
+    # force the caller session's effective split size below the ~5 MB
+    # files so a plain read is GUARANTEED to split them mid-conversation
+    prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+    try:
+        plain = spark.read.parquet(path)
+        assert plain.rdd.getNumPartitions() > 4  # files actually split…
+        assert partition_clustering_violations(plain).count() > 0  # …mid-conv
+        # read_clustered under the SAME hostile session: one partition per
+        # file (openCost=cap stops multi-file packing, cap stops splitting)
+        clustered = read_clustered(spark, path, validate=True)
+        assert clustered.rdd.getNumPartitions() == 4
+        assert partition_clustering_violations(clustered).count() == 0
+        # caller session conf is untouched by the pinned child session
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(1024 * 1024)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)

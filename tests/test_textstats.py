@@ -106,3 +106,33 @@ def test_unigram_logprob_matches_python_oracle(spark):
         assert abs(out[did]["mean_word_logprob"] - exp) < 1e-9, did
     # common-word doc scores higher than the gibberish doc
     assert out[1]["mean_word_logprob"] > out[3]["mean_word_logprob"]
+
+
+def test_unigram_logprob_broadcasts_vocab_and_salted_parity(spark):
+    """The word join key is Zipf-skewed, so the model side must go out as
+    a broadcast hash join when the vocab fits (plan-asserted: no shuffle
+    on `word` at all); the salted shuffle variant for oversized vocabs
+    must return identical values."""
+    from featureengineer_spark.operators.textstats import (
+        unigram_model,
+        with_unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * (i % 3 + 1) + f"tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    model = unigram_model(docs)
+    out = with_unigram_logprob(docs, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    base = {r.doc_id: (r.mean_word_logprob, r.n_scored_words) for r in out.collect()}
+
+    salted = with_unigram_logprob(
+        docs, model, broadcast_model=False, salt_partitions=4
+    )
+    got = {r.doc_id: (r.mean_word_logprob, r.n_scored_words) for r in salted.collect()}
+    assert set(got) == set(base)
+    for k in base:
+        assert got[k][1] == base[k][1]
+        assert abs(got[k][0] - base[k][0]) < 1e-12
