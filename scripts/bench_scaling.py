@@ -43,6 +43,13 @@ REPS = 2
 LEVELS = (2, 8, 32)
 PRIMARY = (2, 8)  # N vs 4N below the box's memory-bandwidth saturation
 
+#: everything below this marker in BENCH/BASELINE.md is hand-maintained
+#: (multi-executor measurement records, round-over-round bench readings,
+#: regression reference points) and survives regeneration verbatim.
+MANUAL_MARKER = (
+    "<!-- MANUAL SECTIONS — preserved verbatim by scripts/bench_scaling.py -->"
+)
+
 
 N_BUCKETS = 256
 
@@ -222,8 +229,8 @@ def orchestrate() -> None:
         "## Data-size scaling",
         "",
         "See `BENCH/LADDER.md` (`scripts/bench_scale_ladder.py`): the same jobs",
-        "at 1.6M / 14.7M / 55.3M turns — throughput rises with input size, so",
-        "per-turn cost is flat-to-improving (no super-linear term).",
+        "at a rising turn-count ladder — throughput rises-or-holds with input",
+        "size, so per-turn cost is flat-to-improving (no super-linear term).",
         "",
         "## Correctness",
         "",
@@ -237,8 +244,20 @@ def orchestrate() -> None:
         "",
     ]
     os.makedirs("BENCH", exist_ok=True)
+    # Preserve every hand-maintained section below the marker verbatim —
+    # regenerating this file MUST NOT clobber the manual record (round-4
+    # commit dbe5f6b restored sections an earlier regeneration destroyed;
+    # this marker is the structural fix).
+    manual_tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if MANUAL_MARKER in old:
+            manual_tail = old.split(MANUAL_MARKER, 1)[1]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
+        f.write(MANUAL_MARKER)
+        f.write(manual_tail if manual_tail else "\n")
     print(json.dumps({"efficiency": effs, "detail": out}, indent=2))
 
 
