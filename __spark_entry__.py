@@ -733,19 +733,23 @@ def q_media_features(spark, sf):
 
 
 def q_media_features_real(spark, sf):
-    """REAL media decode through the gate: deterministic WAV-PCM16 (odd
-    ids) and binary PGM (even ids) payloads are synthesized per doc_id,
-    then decoded by the pure-numpy RIFF/netpbm parsers
-    (``real_decode_features``) and reduced to the 14 chunk means over the
-    DECODED sample/pixel values. The sample formulas are SQL-re-derivable,
-    so the DuckDB oracle regenerates the decoded values directly — if the
-    WAV/PGM writer↔parser roundtrip were wrong anywhere, every chunk mean
-    would mismatch. Closes SURVEY §2 S3 (was: decode stubbed)."""
+    """REAL media decode through the gate: deterministic WAV-PCM16
+    (doc_id%3==1), binary PGM (doc_id%3==2), and 24-bit bottom-up BMP
+    (doc_id%3==0) payloads are synthesized per doc_id, then decoded by
+    the pure-numpy RIFF/netpbm/BMP parsers (``real_decode_features``)
+    and reduced to the 14 chunk means over the DECODED sample/pixel
+    values. The sample formulas are SQL-re-derivable, so the DuckDB
+    oracle regenerates the decoded values directly — if any container
+    writer↔parser roundtrip were wrong anywhere (including BMP's
+    bottom-up row flip and 4-byte stride padding), every chunk mean
+    would mismatch. Closes SURVEY §2 S3 for the full pure-numpy
+    public-format set."""
     import pandas as pd
 
     from featureengineer_spark.operators.multimodal import (
         extract_media_features,
         real_decode_features,
+        synth_bmp,
         synth_pgm,
         synth_wav_pcm16,
     )
@@ -754,17 +758,19 @@ def q_media_features_real(spark, sf):
         out = []
         for m in mid:
             m = int(m)
-            if m % 2:
+            if m % 3 == 1:
                 out.append(synth_wav_pcm16(m, m % 977 + 10))
-            else:
+            elif m % 3 == 2:
                 out.append(synth_pgm(m, m % 37 + 1, m % 23 + 1))
+            else:
+                out.append(synth_bmp(m, m % 29 + 1, m % 19 + 1))
         return pd.Series(out)
 
     gen_payload = F.pandas_udf(_gen, "binary")
 
     media = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 1, F.lit("audio"))
+        F.when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("image"))
         .alias("modality"),
         gen_payload(F.col("doc_id")).alias("content"),
@@ -2231,15 +2237,18 @@ def _media_real_oracle_sql(k: int = 14) -> str:
     return f"""
             WITH prep AS (
               SELECT doc_id AS media_id,
-                     CASE WHEN doc_id % 2 = 1 THEN 'audio' ELSE 'image' END AS modality,
-                     CASE WHEN doc_id % 2 = 1 THEN doc_id % 977 + 10
-                          ELSE (doc_id % 37 + 1) * (doc_id % 23 + 1) END AS n
+                     CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS modality,
+                     CASE WHEN doc_id % 3 = 1 THEN doc_id % 977 + 10
+                          WHEN doc_id % 3 = 2 THEN (doc_id % 37 + 1) * (doc_id % 23 + 1)
+                          ELSE (doc_id % 29 + 1) * (doc_id % 19 + 1) END AS n
               FROM documents
             ), vals AS (
               SELECT media_id, modality, n, n // {k} AS q, n % {k} AS r,
-                     CASE WHEN modality = 'audio'
+                     CASE WHEN media_id % 3 = 1
                        THEN list_transform(range(n), i -> (media_id * 2654435761 + i * 40503) % 65536 - 32768)
-                       ELSE list_transform(range(n), i -> (media_id * 31 + i * 7) % 256)
+                       WHEN media_id % 3 = 2
+                       THEN list_transform(range(n), i -> (media_id * 31 + i * 7) % 256)
+                       ELSE list_transform(range(n), i -> (media_id * 17 + i * 11) % 256)
                      END AS v
               FROM prep
             )

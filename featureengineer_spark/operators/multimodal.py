@@ -250,9 +250,61 @@ def _parse_pnm(buf: bytes) -> np.ndarray:
     return x
 
 
+def _parse_bmp(buf: bytes) -> np.ndarray:
+    """Pure-numpy uncompressed-BMP decoder → float64 pixel values in
+    row-major TOP-DOWN order (bottom-up rasters are flipped), RGB
+    downmixed by per-pixel channel mean, 8-bit palette indices resolved
+    through the palette's channel mean. BITMAPINFOHEADER (≥40 bytes),
+    ``biCompression=0`` (BI_RGB), 8/24-bit only — RLE/16/32-bit variants
+    raise ``NotImplementedError`` (rejected, not misread). Completes the
+    pure-numpy-decodable public-format set alongside WAV-PCM and netpbm
+    (reference analog ``FeaGet.py:191``)."""
+    if len(buf) < 54 or buf[0:2] != b"BM":
+        raise ValueError("not a BMP container")
+    data_offset = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP needs a wider decode")
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    bits = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP biCompression={compression} (RLE/bitfields) needs codec "
+            "libraries; only uncompressed BI_RGB decodes here"
+        )
+    if bits not in (8, 24):
+        raise NotImplementedError(f"{bits}-bit BMP needs a wider decode")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = height < 0
+    h = abs(height)
+    bpp = bits // 8
+    stride = (width * bpp + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    raster = np.frombuffer(buf, dtype=np.uint8, count=-1, offset=0)[
+        data_offset : data_offset + stride * h
+    ]
+    if len(raster) < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = raster.reshape(h, stride)[:, : width * bpp]
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 24:
+        return rows.reshape(h, width, 3).astype(np.float64).mean(axis=2).ravel()
+    # 8-bit: indices through the BGRA palette (sits right after the header)
+    n_colors = int.from_bytes(buf[46:50], "little") or 256
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(
+        buf, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+    ).reshape(-1, 4)[:, :3]
+    return pal.astype(np.float64).mean(axis=1)[rows.astype(np.int64)].ravel()
+
+
 def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
     """Real decode for public pure-numpy-decodable formats — WAV-PCM
-    (RIFF) and netpbm PGM/PPM — then the same feature chain as the stub:
+    (RIFF), netpbm PGM/PPM, and uncompressed BMP — then the same
+    feature chain as the stub:
     ``MEDIA_FEATURE_DIM - 2`` ``array_split`` chunk means over the
     DECODED values, the decoded-value count, and the modality code.
     Formats needing actual codec libraries (JPEG/MP3/H.264/…) stay on
@@ -276,13 +328,16 @@ def real_decode_features(content: pd.Series, modality: pd.Series) -> np.ndarray:
             x = _parse_wav_pcm(buf)
         elif buf[0:2] in (b"P2", b"P3", b"P5", b"P6"):
             x = _parse_pnm(buf)
+        elif buf[0:2] == b"BM":
+            x = _parse_bmp(buf)
         else:
             head = buf[0:4]
             raise NotImplementedError(
                 f"real media decode: unrecognized format (magic={head!r}); "
-                "WAV-PCM and PGM/PPM decode pure-numpy here, anything else "
-                "needs codec libraries (PIL/torchaudio/av) not installed "
-                "in this environment — use fake_decode_features instead"
+                "WAV-PCM, PGM/PPM, and uncompressed BMP decode pure-numpy "
+                "here, anything else needs codec libraries "
+                "(PIL/torchaudio/av) not installed in this environment — "
+                "use fake_decode_features instead"
             )
         decoded.append(x)
         lens[i] = len(x)
@@ -318,6 +373,33 @@ def synth_pgm(media_id: int, width: int, height: int) -> bytes:
     i = np.arange(width * height, dtype=np.int64)
     pix = ((media_id * 31 + i * 7) % 256).astype(np.uint8)
     return b"P5\n%d %d\n255\n" % (width, height) + pix.tobytes()
+
+
+def synth_bmp(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic 24-bit uncompressed bottom-up BMP payload whose
+    DECODED value at top-down row-major index ``i`` is
+    ``(media_id * 17 + i * 11) % 256`` (all three channels equal, so the
+    per-pixel channel mean is the value itself) — SQL-re-derivable.
+    Bottom-up storage plus row padding exercises the parser's flip and
+    stride handling."""
+    i = np.arange(width * height, dtype=np.int64)
+    v = ((media_id * 17 + i * 11) % 256).astype(np.uint8).reshape(height, width)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    # BGR triplets, stored bottom-up: file row r = image row height-1-r
+    rows[:, : width * 3] = np.repeat(v[::-1], 3, axis=1)
+    raster = rows.tobytes()
+    hdr = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + raster
 
 
 def extract_media_features(

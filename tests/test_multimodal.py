@@ -310,3 +310,63 @@ def test_chunk_means_adversarial_lengths():
             for j, c in enumerate(np.array_split(p.astype(np.float64), k)):
                 exp[j] = c.mean() if len(c) else 0.0
         np.testing.assert_allclose(got[i], exp, rtol=0, atol=1e-12, err_msg=f"len={len(p)}")
+
+
+def test_bmp_decode_variants():
+    """Uncompressed-BMP decoder: bottom-up stride-padded 24-bit roundtrip
+    against the synth formula, hand-built top-down and 8-bit-palette
+    variants, and clean rejection of compressed/unsupported forms."""
+    import numpy as np
+    import pytest
+
+    from featureengineer_spark.operators.multimodal import _parse_bmp, synth_bmp
+
+    for mid, w, h in [(3, 10, 7), (99, 4, 4), (7, 13, 1), (0, 1, 1)]:
+        x = _parse_bmp(synth_bmp(mid, w, h))
+        i = np.arange(w * h)
+        np.testing.assert_array_equal(x, ((mid * 17 + i * 11) % 256).astype(float))
+
+    def hdr24(w, h, raster_len, bits=24, compression=0, n_colors=0, off=54):
+        return (
+            b"BM" + (off + raster_len).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + compression.to_bytes(4, "little") + raster_len.to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + n_colors.to_bytes(4, "little") + (0).to_bytes(4, "little")
+        )
+
+    # top-down (negative height): rows arrive in image order, no flip
+    w, h = 5, 3
+    i = np.arange(w * h)
+    v = ((85 + i * 11) % 256).astype(np.uint8).reshape(h, w)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(v, 3, axis=1)
+    got = _parse_bmp(hdr24(w, -h, h * stride) + rows.tobytes())
+    np.testing.assert_array_equal(got, (85 + i * 11) % 256)
+
+    # 8-bit palette: indices resolve through BGRA palette channel means
+    w, h = 6, 2
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, :3] = np.arange(256)[:, None]
+    idx = ((np.arange(w * h) * 13) % 256).astype(np.uint8).reshape(h, w)
+    stride8 = (w + 3) // 4 * 4
+    rows8 = np.zeros((h, stride8), dtype=np.uint8)
+    rows8[:, :w] = idx[::-1]
+    got = _parse_bmp(
+        hdr24(w, h, h * stride8, bits=8, n_colors=256, off=54 + 1024)
+        + pal.tobytes() + rows8.tobytes()
+    )
+    np.testing.assert_array_equal(got, (np.arange(w * h) * 13) % 256)
+
+    with pytest.raises(NotImplementedError, match="biCompression"):
+        _parse_bmp(hdr24(4, 4, 64, compression=1) + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="32-bit"):
+        _parse_bmp(hdr24(4, 4, 64, bits=32) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a BMP"):
+        _parse_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_bmp(hdr24(8, 8, 0))
