@@ -148,6 +148,88 @@ def minhash_signatures(
     )
 
 
+def _banded_rows(
+    sig: DataFrame,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    hash_fn: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Signature frame → long-form (id, [extra], band_idx, band_hash)
+    rows: the LSH banding shared by the candidate self-join, the batch
+    first-seen gate, and the streaming near-dup gate."""
+    rows = num_perm // bands
+    band_of = (
+        (lambda j: F.xxhash64(j))
+        if hash_fn == "xxhash64"
+        else (lambda j: _md5_long(j))
+    )
+    return sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    band_of(
+                        F.array_join(F.slice("minhash", b * rows + 1, rows), ",")
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, *extra_cols, "band.band_idx", "band.band_hash")
+
+
+def near_dedup_first_seen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Single-pass first-per-bucket near-dedup gate: a document is kept
+    iff it is the FIRST arrival — ordered by (``order_col``, id), or id
+    alone when ``order_col`` is None — in EVERY one of its MinHash LSH
+    band buckets.
+
+    Aggressive by design: unlike :func:`near_dedup_filter` (pairs →
+    connected components → keep the min-id canonical), this rule decides
+    per document in ONE pass with no pair graph, so a document that
+    collides with an already-dropped document's *other* buckets is also
+    dropped. That is the standard online-ingest trade-off — it is the
+    batch twin of ``streaming.stream_dedup_neardup`` (identical rule;
+    parity-tested), and the right semantics when dedup must gate an
+    arrival stream instead of a completed corpus. Shuffle: one banding
+    pass + one window over band buckets + one per-doc agg — never |df|²."""
+    from pyspark.sql.window import Window
+
+    sig = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle, seed, hash_fn
+    )
+    banded = _banded_rows(sig, id_col, num_perm, bands, hash_fn)
+    if order_col is not None:
+        banded = banded.join(
+            df.select(F.col(id_col), F.col(order_col).alias("__ord")), on=id_col
+        )
+        order = [F.col("__ord"), F.col(id_col)]
+    else:
+        order = [F.col(id_col)]
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(*order)
+    keep = (
+        banded.withColumn("__first", (F.row_number().over(w) == 1).cast("int"))
+        .groupBy(id_col)
+        .agg(F.min("__first").alias("__all_first"))
+        .filter(F.col("__all_first") == 1)
+    )
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,26 +250,10 @@ def minhash_lsh_candidates(
     est_jaccard is the fraction of matching minhash positions.
     ``hash_fn='md5'`` makes the whole candidate set DuckDB-reproducible.
     """
-    rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle, seed, hash_fn)
-    band_of = (
-        (lambda j: F.xxhash64(j))
-        if hash_fn == "xxhash64"
-        else (lambda j: _md5_long(j))
+    banded = _banded_rows(
+        sig, id_col, num_perm, bands, hash_fn, extra_cols=("minhash",)
     )
-    banded = sig.select(
-        F.col(id_col),
-        F.col("minhash"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    band_of(F.array_join(F.slice("minhash", b * rows + 1, rows), ",")).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "minhash", "band.band_idx", "band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -348,3 +348,135 @@ def stream_dedup_exact(
         "__text_hash", F.xxhash64(normalize_text(F.col(text_col)))
     ).withWatermark(ts_col, watermark)
     return hashed.dropDuplicatesWithinWatermark(["__text_hash"]).drop("__text_hash")
+
+
+def stream_dedup_neardup(
+    spark: SparkSession,
+    docs_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    store_path: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    available_now: bool = True,
+    max_files_per_trigger: int = 4,
+    horizon_s: float | None = None,
+):
+    """Streaming NEAR-duplicate gate: the MinHash-band extension of
+    :func:`stream_dedup_exact` — an arriving document is suppressed iff
+    any of its LSH band buckets was already seen, where "seen" covers
+    both earlier micro-batches (a persistent band store) and earlier
+    arrivals inside the same micro-batch (first-per-bucket by
+    (``ts_col``, id) order). Identical semantics to the batch twin
+    ``dedup.near_dedup_first_seen`` (parity-tested), run per micro-batch
+    via ``foreachBatch``:
+
+    1. band the batch (``dedup._banded_rows`` over MinHash signatures);
+    2. drop docs colliding with the store (left-semi on
+       (band_idx, band_hash)) or ranked >1 inside the batch;
+    3. write survivors partitioned by ``__batch_id`` with dynamic
+       overwrite (idempotent replay, like ``stream_asof_attach``);
+    4. append ALL of the batch's band rows to the store — only after
+       the survivor write materialized, so a batch never collides with
+       its own bands.
+
+    State bound: the store holds ``bands`` rows per arriving document
+    inside the retention horizon. With ``horizon_s`` set, store reads
+    filter to band rows whose ``ts`` is within the horizon of the
+    batch's max ts — the same trade-off as ``stream_dedup_exact``: a
+    near-dup arriving later than the horizon after its original is NOT
+    caught (route those to the batch pass), and expired store partitions
+    can be physically deleted by compaction. The store join is an equi
+    join on (band_idx, band_hash) — bucket-bounded, never |batch|×|store|
+    row products."""
+    from pyspark.sql.window import Window
+
+    from featureengineer_spark.operators.dedup import (
+        _banded_rows,
+        minhash_signatures,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def gate(batch_df, batch_id):
+        sig = minhash_signatures(
+            batch_df, id_col, text_col, num_perm, shingle, seed, hash_fn
+        )
+        banded = _banded_rows(sig, id_col, num_perm, bands, hash_fn).join(
+            batch_df.select(F.col(id_col), F.col(ts_col).alias("__ts")), on=id_col
+        )
+        banded = banded.persist()
+        try:
+            dropped = []
+            # first batch: the store doesn't exist yet (and its partition
+            # dirs are __batch_id=N — underscore-prefixed, so a file-listing
+            # heuristic misreads a populated store as empty; read-and-catch
+            # is the robust emptiness probe)
+            try:
+                seen = batch_df.sparkSession.read.parquet(store_path)
+            except Exception:
+                seen = None
+            if seen is not None:
+                if horizon_s is not None:
+                    hi = batch_df.agg(F.max(ts_col)).first()[0]
+                    if hi is not None:
+                        seen = seen.filter(
+                            F.col("__ts")
+                            >= F.lit(hi) - F.expr(f"INTERVAL {horizon_s} SECONDS")
+                        )
+                dropped.append(
+                    banded.join(
+                        seen.select("band_idx", "band_hash"),
+                        on=["band_idx", "band_hash"],
+                        how="left_semi",
+                    ).select(id_col)
+                )
+            w = Window.partitionBy("band_idx", "band_hash").orderBy(
+                F.col("__ts"), F.col(id_col)
+            )
+            dropped.append(
+                banded.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > 1)
+                .select(id_col)
+            )
+            bad = dropped[0]
+            for d in dropped[1:]:
+                bad = bad.unionByName(d)
+            kept = batch_df.join(bad.distinct(), on=id_col, how="left_anti")
+            (
+                kept.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(output_path)
+            )
+            # store append AFTER the survivor write: every band row of the
+            # batch (kept or dropped — first-per-bucket "seen" semantics)
+            (
+                banded.select(id_col, "band_idx", "band_hash", "__ts")
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            banded.unpersist()
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

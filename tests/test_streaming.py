@@ -492,3 +492,77 @@ def test_stream_dedup_exact_matches_batch_distinct(spark, tmp_path):
         .collect()
     }
     assert got_norm == batch_texts
+
+
+def test_stream_dedup_neardup_matches_batch_first_seen(spark, tmp_path):
+    """Streaming near-dup gate == batch near_dedup_first_seen on the same
+    corpus when arrival order follows ts order: files arrive one per
+    micro-batch in ts order, and the kept id set must be identical to the
+    single-pass batch twin (first arrival per LSH band bucket wins,
+    within-batch and across the persistent band store alike)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.dedup import near_dedup_first_seen
+    from featureengineer_spark.streaming.sessions import stream_dedup_neardup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old river bank",
+        "spark structured streaming processes unbounded data in incremental micro batches",
+        "minhash signatures estimate jaccard similarity between shingled documents quickly",
+        "training data pipelines deduplicate documents before tokenization and packing",
+        "a completely unrelated sentence about alpine weather patterns in early spring",
+    ]
+    rows = []
+    for i in range(30):
+        b = base[i % 5]
+        if i >= 10 and i % 3 == 0:
+            # near-dup: same text with a one-word tweak (shares most shingles)
+            b = b.replace("the", "a", 1) + " extra"
+        rows.append((i, b, f"2024-03-01 10:{i:02d}:00"))
+    schema = "doc_id long, text string, ts timestamp"
+    pdf = (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    src = str(tmp_path / "nd_in")
+    os.makedirs(src)
+    # one file per 10 docs, mtimes strictly increasing so the file source
+    # processes them in ts order
+    for part, lo in enumerate(range(0, 30, 10)):
+        chunk = pdf.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        tmp_dir = str(tmp_path / f"nd_chunk{part}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        data_file = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"part-{part:03d}.parquet")
+        os.rename(os.path.join(tmp_dir, data_file), dst)
+        os.utime(dst, (time.time() + part, time.time() + part))
+
+    out = str(tmp_path / "nd_out")
+    q = stream_dedup_neardup(
+        spark,
+        src,
+        out,
+        str(tmp_path / "nd_ckpt"),
+        str(tmp_path / "nd_store"),
+        schema,
+        num_perm=16,
+        bands=8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    exp = {
+        r.doc_id
+        for r in near_dedup_first_seen(
+            pdf, order_col="ts", num_perm=16, bands=8
+        ).select("doc_id").collect()
+    }
+    assert got == exp
+    # sanity: the gate actually suppressed something and kept something
+    assert 0 < len(got) < 30
+    # store is bounded: bands rows per arriving doc
+    store_rows = spark.read.parquet(str(tmp_path / "nd_store")).count()
+    assert store_rows == 30 * 8
