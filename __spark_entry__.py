@@ -932,6 +932,38 @@ def q_session_quality(spark, sf):
     )
 
 
+def q_doc_shuffle_shards(spark, sf):
+    """Deterministic training shuffle (md5 variant): every document gets
+    a shard = pmod(hash(seed,id), 8) and a rank inside the shard by
+    (hash, id) — the dataloader permutation as a pure function of
+    (seed, id). DuckDB replays the identical hash, shard, and
+    row_number."""
+    from featureengineer_spark.operators.curation import shuffle_shards
+
+    out = shuffle_shards(
+        _t(spark, sf, "documents"), n_shards=8, seed=3, hash_fn="md5"
+    )
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+def q_doc_token_mix(spark, sf):
+    """Domain-mixture curation by TOKEN budget (md5 variant): per-lang
+    char totals → keep fraction min(1, target/total) applied as the
+    deterministic hash threshold. DuckDB replays totals, thresholds, and
+    the keep predicate exactly (floor on both sides)."""
+    from featureengineer_spark.operators.curation import token_budget_mix
+
+    out = token_budget_mix(
+        _t(spark, sf, "documents"),
+        {"en": 200_000, "es": 80_000},
+        domain_col="lang",
+        token_col="n_chars",
+        seed=11,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1588,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_token_stats": q_doc_token_stats,
         "except_all": q_except_all,
+        "doc_shuffle_shards": q_doc_shuffle_shards,
+        "doc_token_mix": q_doc_token_mix,
     }
 
 
@@ -3043,6 +3077,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_oracle_sql(),
         "media_features_real": _media_real_oracle_sql(),
+        "doc_shuffle_shards": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hv % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                        AS INTEGER) AS shard_pos
+            FROM h
+        """,
+        "doc_token_mix": r"""
+            WITH totals AS (
+              SELECT lang, sum(n_chars) AS domain_tokens FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN totals t ON d.lang = t.lang
+            WHERE ('0x' || substr(md5('11:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                  < CAST(floor(least(1.0,
+                        CASE d.lang WHEN 'en' THEN 200000 WHEN 'es' THEN 80000 ELSE 0 END
+                        / greatest(t.domain_tokens, 1)) * 1000000) AS BIGINT)
+        """,
         "ann_lsh": _ann_lsh_oracle_sql(),
         "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),
         "latent_factors_fixed": _latent_fixed_oracle_sql(),

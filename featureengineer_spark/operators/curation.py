@@ -183,3 +183,111 @@ def conversation_quality(
             (F.first("__first_ua") == user_role).alias("starts_with_user"),
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a ``shard``
+    (``pmod(hash(seed, id), n_shards)``) and, with ``with_position``, a
+    ``shard_pos`` (rank by (hash, id) inside the shard) — the
+    pseudorandom permutation a dataloader consumes, as a pure function
+    of (seed, id): re-runs, retries, and any input partitioning produce
+    the identical order (the same F9 seeded-hash discipline as
+    :func:`stratified_sample`), and changing ``seed`` is a fresh epoch
+    permutation with zero data movement beyond the reshuffle.
+
+    Scale: the shard assignment is a map-only expression. The position
+    rank is one window per shard — fine when corpus/n_shards fits a
+    task (pick n_shards accordingly, e.g. 100k shards at 100 TB); for a
+    writer that only needs physical order, skip the rank
+    (``with_position=False``) and do
+    ``.repartition(n_shards, "shard").sortWithinPartitions("__shuffle_key")``
+    — same order, no window. ``hash_fn='md5'`` is the
+    DuckDB-reproducible variant."""
+    from pyspark.sql.window import Window
+
+    from featureengineer_spark.operators.dedup import _md5_long
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    elif hash_fn == "md5":
+        h = _md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    out = df.withColumn("__shuffle_key", h).withColumn(
+        "shard", F.pmod(F.col("__shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    if with_position:
+        w = Window.partitionBy("shard").orderBy(
+            F.col("__shuffle_key"), F.col(id_col)
+        )
+        out = out.withColumn("shard_pos", F.row_number().over(w) - 1)
+    return out.drop("__shuffle_key")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    targets: dict[str, int],
+    domain_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_tokens: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Domain-mixture curation by TOKEN budget: sample each domain down
+    to ``targets[domain]`` tokens in expectation — the mixture-weighting
+    step of a pretraining pipeline (a target token mix per source/
+    language, not a per-document fraction, since document lengths differ
+    across domains).
+
+    Two passes: (1) one aggregation for per-domain token totals,
+    (2) per-domain keep fraction ``min(1, target/total)`` applied as the
+    same deterministic hash threshold as :func:`stratified_sample` —
+    re-run/partitioning-invariant, and NESTED under budget increases
+    (raising a domain's token target only ADDS documents, so scaling-law
+    ladders reuse their smaller mixes). Domains absent from ``targets``
+    get ``default_tokens``. The kept token count is the budget in
+    expectation, not exactly (whole documents are kept or dropped);
+    callers needing exact truncation chain :func:`pack_sequences` and
+    cut at the budget boundary.
+
+    Scale: one groupBy(domain) agg (|domains| rows — broadcast back) +
+    one map-side filter; no shuffle of the corpus itself."""
+    from featureengineer_spark.operators.dedup import _md5_long
+
+    totals = df.groupBy(domain_col).agg(F.sum(token_col).alias("__domain_tokens"))
+    target_expr = F.coalesce(
+        *(
+            [
+                F.when(F.col(domain_col) == F.lit(k), F.lit(int(v)))
+                for k, v in targets.items()
+            ]
+            + [F.lit(int(default_tokens))]
+        )
+    )
+    frac = F.least(
+        F.lit(1.0), target_expr / F.greatest(F.col("__domain_tokens"), F.lit(1))
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    elif hash_fn == "md5":
+        h = _md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return (
+        df.join(F.broadcast(totals), on=domain_col)
+        .filter(
+            F.pmod(h, F.lit(SAMPLE_DENOM))
+            < (frac * SAMPLE_DENOM).cast("long")
+        )
+        .drop("__domain_tokens")
+    )

@@ -116,3 +116,68 @@ def test_pack_sequences_unsharded_guard(spark):
     assert pack_sequences(df, budget=128, max_unsharded_rows=50).count() == 50
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, budget=0)
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """Shard + position are a pure function of (seed, id): partitioning-
+    invariant, positions form 0..n-1 per shard, and a new seed is a
+    different permutation (fresh epoch)."""
+    from featureengineer_spark.operators.curation import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shuffle_shards(df, 8, seed=1).toPandas()
+    b = shuffle_shards(df.repartition(13), 8, seed=1).toPandas()
+    ka = a.set_index("doc_id")[["shard", "shard_pos"]].to_dict("index")
+    kb = b.set_index("doc_id")[["shard", "shard_pos"]].to_dict("index")
+    assert ka == kb  # partitioning-invariant
+    assert a["shard"].between(0, 7).all()
+    for s, grp in a.groupby("shard"):
+        assert sorted(grp["shard_pos"]) == list(range(len(grp)))
+    c = shuffle_shards(df, 8, seed=2).toPandas()
+    kc = c.set_index("doc_id")[["shard", "shard_pos"]].to_dict("index")
+    assert ka != kc  # different epoch
+    # md5 variant works and is deterministic too
+    m1 = shuffle_shards(df, 4, seed=1, hash_fn="md5").toPandas()
+    m2 = shuffle_shards(df.repartition(7), 4, seed=1, hash_fn="md5").toPandas()
+    assert m1.set_index("doc_id")["shard_pos"].to_dict() == \
+           m2.set_index("doc_id")["shard_pos"].to_dict()
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, 0)
+
+
+def test_token_budget_mix_hits_targets_and_nests(spark):
+    """Per-domain kept token mass approximates the budget; unlisted
+    domains default to dropped; raising a budget only ADDS docs; the
+    keep set is partitioning-invariant."""
+    from featureengineer_spark.operators.curation import token_budget_mix
+
+    rows = []
+    for i in range(4000):
+        lang = ["en", "es", "de"][i % 3]
+        rows.append((i, lang, 100 + (i % 7) * 10))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    tot = {r["lang"]: r["t"] for r in
+           df.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    targets = {"en": int(tot["en"] * 0.4), "es": int(tot["es"] * 0.85)}
+    out = token_budget_mix(df, targets, domain_col="lang",
+                           token_col="n_tokens", seed=5)
+    kept = {r["lang"]: r["t"] for r in
+            out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert "de" not in kept  # default budget 0
+    assert abs(kept["en"] / targets["en"] - 1) < 0.1
+    assert abs(kept["es"] / targets["es"] - 1) < 0.1
+    # over-budget target keeps the whole domain
+    all_en = token_budget_mix(df, {"en": tot["en"] * 10}, domain_col="lang",
+                              token_col="n_tokens", seed=5)
+    assert all_en.filter("lang='en'").count() == df.filter("lang='en'").count()
+    # nested: doubling a budget only adds documents
+    ids_small = {r.doc_id for r in out.select("doc_id").collect()}
+    bigger = token_budget_mix(
+        df, {"en": targets["en"] * 2, "es": targets["es"]},
+        domain_col="lang", token_col="n_tokens", seed=5)
+    ids_big = {r.doc_id for r in bigger.select("doc_id").collect()}
+    assert {i for i in ids_small if i % 3 == 0} <= ids_big
+    # partitioning-invariant
+    again = token_budget_mix(df.repartition(17), targets, domain_col="lang",
+                             token_col="n_tokens", seed=5)
+    assert {r.doc_id for r in again.select("doc_id").collect()} == ids_small
