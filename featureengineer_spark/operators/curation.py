@@ -95,9 +95,10 @@ def pack_sequences(
     ONE window partition (global contiguous packing needs a total
     order), so the unsharded path is gated by a limit-bounded count
     probe and raises past ``max_unsharded_rows`` rows — pass a
-    ``shard_col`` (e.g. a hash bucket) so no single partition holds the
-    corpus; packing is then deterministic per shard, which is how
-    training shards are consumed anyway."""
+    ``shard_col`` (e.g. a hash bucket; :func:`shuffle_shards` with
+    ``with_position=False`` derives exactly that deterministically) so
+    no single partition holds the corpus; packing is then deterministic
+    per shard, which is how training shards are consumed anyway."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if shard_col is None:
