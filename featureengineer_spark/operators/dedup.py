@@ -230,6 +230,67 @@ def near_dedup_first_seen(
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def band_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows for a corpus — the persistable
+    near-dup index the ingest gates probe (the batch analog of the
+    streaming gate's band store). Append the NEW batch's store rows
+    after gating it (kept AND dropped docs — first-seen semantics) and
+    the index stays ``bands`` rows per document ever ingested; partition
+    the store by ingest date so retention is a partition drop."""
+    sig = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle, seed, hash_fn
+    )
+    return _banded_rows(sig, id_col, num_perm, bands, hash_fn)
+
+
+def near_dedup_incremental(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Batch ingest gate against an EXISTING corpus: keep a new document
+    iff (a) none of its band buckets appears in ``seen_bands`` (the
+    :func:`band_store` of everything already ingested) and (b) it is
+    first-per-bucket inside the new batch (:func:`near_dedup_first_seen`
+    rule). Applying this per ingest batch — appending
+    ``band_store(new_docs)`` to the index each time — yields exactly the
+    same kept set as one global ``near_dedup_first_seen`` over the
+    concatenated corpus in arrival order (the property the streaming
+    gate's parity test pins; this is its batch-ingest form for nightly
+    compaction pipelines). Shuffle: banding + one semi join on
+    (band_idx, band_hash) + the in-batch window — bucket-bounded, never
+    |new|×|seen| row products."""
+    banded = band_store(
+        new_docs, id_col, text_col, num_perm, bands, shingle, seed, hash_fn
+    )
+    colliders = banded.join(
+        seen_bands.select("band_idx", "band_hash"),
+        on=["band_idx", "band_hash"],
+        how="left_semi",
+    ).select(id_col).distinct()
+    within = near_dedup_first_seen(
+        new_docs, id_col, text_col, order_col, num_perm, bands, shingle,
+        seed, hash_fn,
+    )
+    return within.join(colliders, on=id_col, how="left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -441,3 +441,51 @@ def test_cosine_topk_empty_corpus_degrades(spark):
     )
     assert cosine_topk(empty, q, k=3).count() == 0
     assert cosine_topk(nullvec, q, k=3).count() == 0
+
+
+def test_near_dedup_incremental_equals_global_first_seen(spark):
+    """Sequential batch ingest gating (near_dedup_incremental per batch,
+    appending band_store after each) must equal one global
+    near_dedup_first_seen over the concatenated corpus in arrival order —
+    the batch-ingest form of the streaming gate's parity property."""
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.operators.dedup import (
+        band_store,
+        near_dedup_first_seen,
+        near_dedup_incremental,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old river bank",
+        "spark structured streaming processes unbounded data in incremental micro batches",
+        "minhash signatures estimate jaccard similarity between shingled documents quickly",
+        "a completely unrelated sentence about alpine weather patterns in early spring",
+    ]
+    rows = []
+    for i in range(24):
+        b = base[i % 4]
+        if i >= 8 and i % 3 == 0:
+            b = b.replace("the", "a", 1) + " extra"
+        rows.append((i, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perm=16, bands=8)
+
+    global_kept = {
+        r.doc_id for r in near_dedup_first_seen(df, **kw).select("doc_id").collect()
+    }
+
+    seen = None
+    incremental_kept = set()
+    for lo in range(0, 24, 8):
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 8))
+        if seen is None:
+            kept = near_dedup_first_seen(batch, **kw)
+        else:
+            kept = near_dedup_incremental(batch, seen, **kw)
+        incremental_kept |= {r.doc_id for r in kept.select("doc_id").collect()}
+        bs = band_store(batch, **kw)
+        seen = bs if seen is None else seen.unionByName(bs)
+
+    assert incremental_kept == global_kept
+    assert 0 < len(global_kept) < 24
