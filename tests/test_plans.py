@@ -194,3 +194,39 @@ def test_round4_doc_operators_never_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_round5_curation_operator_plans(spark):
+    """Round-5 operators' scale shapes, visible in the executed plan:
+    shuffle_shards without positions is map-only (zero Exchange),
+    token_budget_mix broadcasts the per-domain totals (no corpus-side
+    SortMergeJoin), and the incremental ingest gate's store probe is an
+    equi join, never cartesian."""
+    from featureengineer_spark.operators.curation import (
+        shuffle_shards,
+        token_budget_mix,
+    )
+    from featureengineer_spark.operators.dedup import (
+        band_store,
+        near_dedup_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    plan = _plan(shuffle_shards(docs, 16, with_position=False))
+    assert "Exchange" not in plan, plan  # pure map stage
+
+    plan = _plan(
+        token_budget_mix(
+            docs, {"en": 10_000}, domain_col="lang", token_col="n_chars"
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    store = band_store(docs.limit(50), num_perm=16, bands=8)
+    plan = _plan(
+        near_dedup_incremental(docs.limit(50), store, num_perm=16, bands=8)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
