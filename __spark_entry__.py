@@ -964,6 +964,26 @@ def q_doc_token_mix(spark, sf):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_doc_quality_quantiles(spark, sf):
+    """Per-language exact quantile thresholds of document length — the
+    cutoff table a quality-filtering pass consumes. Spark's interpolated
+    ``percentile`` is bit-identical to DuckDB's ``quantile_cont``
+    (probed: all groups match to the last ulp at sf0.01), so the oracle
+    is a direct replay."""
+    from featureengineer_spark.operators.textstats import quantile_thresholds
+
+    out = quantile_thresholds(
+        _t(spark, sf, "documents"), "n_chars", "lang", qs=(0.1, 0.5, 0.9, 0.99)
+    )
+    return out.select(
+        "lang",
+        _r(F.col("q10")).alias("q10"),
+        _r(F.col("q50")).alias("q50"),
+        _r(F.col("q90")).alias("q90"),
+        _r(F.col("q99")).alias("q99"),
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1622,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_token_mix": q_doc_token_mix,
+        "doc_quality_quantiles": q_doc_quality_quantiles,
     }
 
 
@@ -3099,6 +3120,14 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(floor(least(1.0,
                         CASE d.lang WHEN 'en' THEN 200000 WHEN 'es' THEN 80000 ELSE 0 END
                         / greatest(t.domain_tokens, 1)) * 1000000) AS BIGINT)
+        """,
+        "doc_quality_quantiles": r"""
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.1), 6) AS q10,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS q90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS q99
+            FROM documents GROUP BY lang
         """,
         "ann_lsh": _ann_lsh_oracle_sql(),
         "gmm_suff_stats_fixed": _gmm_stats_oracle_sql(),

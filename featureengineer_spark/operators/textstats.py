@@ -337,3 +337,43 @@ def with_unigram_logprob(
         F.count("*").alias("n_scored_words"),
     )
     return df.join(per_doc, on=id_col, how="left")
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile thresholds of a quality signal — the cutoff
+    table a corpus-filtering pass consumes ("drop the bottom decile of
+    docs per language", "cap at the 99th-percentile length"): one row
+    per group with a ``q<percent>`` column per requested quantile
+    (``q10``, ``q50``, ``q99_9``, …).
+
+    ``approx=False`` uses exact interpolated ``percentile`` — one
+    sort-based aggregation buffering each group's values, the right call
+    up to ~10⁸ rows per group and bit-identical to DuckDB's
+    ``quantile_cont`` (oracle-checked). At 100 TB pass ``approx=True``:
+    ``approx_percentile`` (KLL-style sketch) is partial-aggregating and
+    constant-memory per group with rank error ~1/``accuracy`` — the
+    honest scale trade-off, tested against the exact path."""
+    def _name(q: float) -> str:
+        pct = q * 100
+        s = (f"{pct:.10f}").rstrip("0").rstrip(".").replace(".", "_")
+        return f"q{s}"
+
+    q_arr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
+    if approx:
+        agg = F.expr(f"approx_percentile({value_col}, {q_arr}, {accuracy})")
+    else:
+        agg = F.expr(f"percentile({value_col}, {q_arr})")
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    out = grouped.agg(agg.alias("__qs"))
+    cols = ([group_col] if group_col else []) + [
+        F.element_at("__qs", i + 1).cast("double").alias(_name(q))
+        for i, q in enumerate(qs)
+    ]
+    return out.select(*cols)

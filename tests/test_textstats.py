@@ -136,3 +136,50 @@ def test_unigram_logprob_broadcasts_vocab_and_salted_parity(spark):
     for k in base:
         assert got[k][1] == base[k][1]
         assert abs(got[k][0] - base[k][0]) < 1e-12
+
+
+def test_quantile_thresholds_exact_and_approx(spark):
+    """Exact path == numpy linear-interpolated percentile per group;
+    approx (sketch) path lands within rank-error tolerance of exact;
+    global (ungrouped) form works; q-name mangling handles fractional
+    percents."""
+    import numpy as np
+
+    from featureengineer_spark.operators.textstats import quantile_thresholds
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(i), ["a", "b"][i % 2], float(v))
+        for i, v in enumerate(rng.gamma(2.0, 50.0, size=4000))
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r["grp"]: r
+        for r in quantile_thresholds(
+            df, "v", "grp", qs=(0.1, 0.5, 0.999)
+        ).collect()
+    }
+    pdf = {g: np.array([v for i, gg, v in rows if gg == g]) for g in ("a", "b")}
+    for g in ("a", "b"):
+        np.testing.assert_allclose(
+            [got[g]["q10"], got[g]["q50"], got[g]["q99_9"]],
+            np.percentile(pdf[g], [10, 50, 99.9]),
+            rtol=1e-9,
+        )
+    # approx: rank error ~1/accuracy → value close to exact on this data
+    approx = {
+        r["grp"]: r
+        for r in quantile_thresholds(
+            df, "v", "grp", qs=(0.1, 0.5), approx=True, accuracy=10_000
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert abs(approx[g]["q50"] - got[g]["q50"]) / got[g]["q50"] < 0.02
+    # global form: one row, no group column
+    glob = quantile_thresholds(df, "v", qs=(0.5,)).collect()
+    assert len(glob) == 1
+    np.testing.assert_allclose(
+        glob[0]["q50"],
+        np.percentile(np.array([v for _, _, v in rows]), 50),
+        rtol=1e-9,
+    )
