@@ -566,3 +566,65 @@ def test_stream_dedup_neardup_matches_batch_first_seen(spark, tmp_path):
     # store is bounded: bands rows per arriving doc
     store_rows = spark.read.parquet(str(tmp_path / "nd_store")).count()
     assert store_rows == 30 * 8
+
+
+def test_stream_dedup_neardup_restart_and_new_data(spark, tmp_path):
+    """Restart with the same checkpoint must be a no-op (no duplicate
+    output, no duplicate store rows), and NEW files arriving after a
+    restart must still be gated against the store built before it."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_dedup_neardup
+
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "r_in")
+    os.makedirs(src)
+
+    def write_file(part, rows):
+        pdf = (
+            spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+            .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+        )
+        td = str(tmp_path / f"r_chunk{part}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(td)
+        f = [x for x in os.listdir(td) if x.endswith(".parquet")][0]
+        dst = os.path.join(src, f"part-{part:03d}.parquet")
+        os.rename(os.path.join(td, f), dst)
+        os.utime(dst, (time.time() + part, time.time() + part))
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+    ]
+    write_file(0, [(i, texts[i % 2], f"2024-04-01 09:{i:02d}:00") for i in range(6)])
+
+    args = (spark, src, str(tmp_path / "r_out"), str(tmp_path / "r_ckpt"),
+            str(tmp_path / "r_store"), schema)
+    kw = dict(num_perm=16, bands=8, max_files_per_trigger=1)
+    q = stream_dedup_neardup(*args, **kw)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(tmp_path / "r_out")).count()
+    store1 = spark.read.parquet(str(tmp_path / "r_store")).count()
+    assert out1 == 2 and store1 == 6 * 8  # one survivor per distinct text
+
+    # restart, nothing new: exactly-once (no growth anywhere)
+    q2 = stream_dedup_neardup(*args, **kw)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "r_out")).count() == out1
+    assert spark.read.parquet(str(tmp_path / "r_store")).count() == store1
+
+    # new file after restart: exact copies of batch-0 texts + one fresh
+    write_file(1, [
+        (10, texts[0], "2024-04-01 10:00:00"),
+        (11, "a wholly new document about volcanic rock formations today", "2024-04-01 10:01:00"),
+    ])
+    q3 = stream_dedup_neardup(*args, **kw)
+    q3.awaitTermination(120)
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "r_out")).select("doc_id").collect()}
+    assert 10 not in kept        # suppressed by the pre-restart store
+    assert 11 in kept            # fresh doc passes
+    assert spark.read.parquet(str(tmp_path / "r_store")).count() == 8 * 8
