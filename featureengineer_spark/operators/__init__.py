@@ -76,3 +76,28 @@ from featureengineer_spark.operators.whitening import (  # noqa: F401
     fit_sphnorm,
     fit_whitener,
 )
+from featureengineer_spark.operators.textstats import (  # noqa: F401
+    contamination_overlap,
+    quantile_thresholds,
+    unigram_model,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_redaction,
+    with_repetition_stats,
+    with_token_counts,
+    with_unigram_logprob,
+)
+from featureengineer_spark.operators.curation import (  # noqa: F401
+    conversation_quality,
+    pack_sequences,
+    shuffle_shards,
+    stratified_sample,
+    token_budget_mix,
+)
+from featureengineer_spark.operators.dedup import (  # noqa: F401
+    band_store,
+    near_dedup_filter,
+    near_dedup_first_seen,
+    near_dedup_incremental,
+)
