@@ -157,6 +157,34 @@ def q_asof_purchase_click(spark, sf):
     )
 
 
+def q_asof_next_purchase(spark, sf):
+    """FORWARD as-of (next-event label join): for each click anchor, the
+    EARLIEST purchase with ts >= click ts (ties by lowest event_id) — the
+    label-construction mirror of asof_purchase_click. DuckDB replays it
+    as a ranked forward join."""
+    ev = _t(spark, sf, "events")
+    anchors = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("anchor_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        anchors,
+        entity_col="user_id",
+        tie_col="event_id",
+        value_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.col("event_id").alias("purchase_id"),
+        _r(F.col("value")).alias("purchase_value"),
+    )
+
+
 def q_topk_events(spark, sf):
     ev = _t(spark, sf, "events")
     return (
@@ -1643,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_token_mix": q_doc_token_mix,
         "doc_quality_quantiles": q_doc_quality_quantiles,
+        "asof_next_purchase": q_asof_next_purchase,
     }
 
 
@@ -2419,6 +2448,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.user_id, a.purchase_id, r.click_id, r.click_value
             FROM (SELECT user_id, purchase_id FROM anchors) a
             LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (user_id, purchase_id)
+        """,
+        "asof_next_purchase": """
+            WITH anchors AS (
+              SELECT user_id, ts AS anchor_ts, event_id AS click_id
+              FROM events WHERE event_type='click'
+            ), ranked AS (
+              SELECT a.user_id, a.click_id, e.event_id AS purchase_id,
+                     round(e.value, 6) AS purchase_value,
+                     row_number() OVER (PARTITION BY a.user_id, a.click_id
+                                        ORDER BY e.ts ASC, e.event_id ASC) AS rn
+              FROM anchors a
+              JOIN events e ON e.user_id = a.user_id AND e.event_type='purchase'
+                            AND e.ts >= a.anchor_ts
+            )
+            SELECT a.user_id, a.click_id, r.purchase_id, r.purchase_value
+            FROM (SELECT user_id, click_id FROM anchors) a
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (user_id, click_id)
         """,
         "topk_events": """
             SELECT event_id, user_id, round(value, 6) AS value

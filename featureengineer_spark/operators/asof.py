@@ -49,6 +49,7 @@ def asof_join(
     inclusive: bool = True,
     matched_ts_col: str = "matched_ts",
     allow_non_causal: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time join via union-tag + ``last(ignorenulls)`` window.
 
@@ -57,12 +58,22 @@ def asof_join(
     feature row; anchors with no prior feature get nulls. Feature columns
     tagged non-causal (centered-window provenance) are refused unless
     ``allow_non_causal=True`` — see ``validation.assert_causal``.
-    """
+
+    ``direction="forward"`` flips the lookup: each anchor gets the
+    EARLIEST feature row with ``ts >= anchor_ts`` (``>`` when
+    ``inclusive=False``), ties broken by the lowest ``tie_col`` — the
+    next-event join a LABEL-construction pass needs ("first purchase
+    after this anchor"). Reading forward is non-causal by definition, so
+    the causal-provenance guard does not apply; never feed
+    forward-joined columns back in as model features. Physical shape is
+    identical (one shuffle + one sorted window, traversed descending)."""
     from featureengineer_spark.validation import assert_causal
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
-    if not allow_non_causal:
+    if direction == "backward" and not allow_non_causal:
         assert_causal(features, value_cols, context="asof_join")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
 
@@ -94,9 +105,18 @@ def asof_join(
     )
 
     unioned = feat.unionByName(anch)
+    # backward: ascend time, the last feature seen at the anchor is the
+    # latest qualifying one. forward: DESCEND time (and tie), so the last
+    # feature seen is the earliest (ts, tie) at-or-after the anchor. The
+    # tag key stays ascending in both: at equal ts, inclusive anchors
+    # (tag 1) traverse after features (0), strict (−1) before.
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col(_TAG).asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(entity_col)
-        .orderBy(F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -127,18 +147,25 @@ def asof_join_pandas(
     inclusive: bool = True,
     matched_ts_col: str = "matched_ts",
     allow_non_causal: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time join via cogrouped ``pd.merge_asof`` (Arrow-batched).
 
-    Same semantics as :func:`asof_join`; sort-merge within each entity
-    cogroup. The per-group pandas sort is the "sort-merge within ts-bucket
-    partitions" strategy from SURVEY.md §2.3 J9.
+    Same semantics as :func:`asof_join` (including ``direction=
+    "forward"`` for next-event label joins — pandas picks the first
+    sorted duplicate going forward and the last going backward, which is
+    exactly the (ts, tie) discipline of the window path); sort-merge
+    within each entity cogroup. The per-group pandas sort is the
+    "sort-merge within ts-bucket partitions" strategy from SURVEY.md
+    §2.3 J9.
     """
     from featureengineer_spark.validation import assert_causal
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
-    if not allow_non_causal:
+    if direction == "backward" and not allow_non_causal:
         assert_causal(features, value_cols, context="asof_join_pandas")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
 
@@ -171,7 +198,7 @@ def asof_join_pandas(
             right.drop(columns=[entity_col]),
             left_on=anchor_ts_col,
             right_on=matched_ts_col,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=inclusive,
         )
         return res[[f.name for f in out_fields]]

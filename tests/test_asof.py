@@ -134,3 +134,61 @@ def test_non_causal_provenance_guard(spark, transcripts):
     # trailing column passes; explicit override allows offline parity runs
     asof_join(carried, anchors, value_cols=["x_trailing"]).count()
     asof_join(carried, anchors, value_cols=["x_centered"], allow_non_causal=True).count()
+
+
+def _forward_oracle(transcripts_pdf, anchors_pdf, inclusive=True):
+    """Naive per-anchor forward spec: earliest (ts, turn_idx) feature row
+    with ts >= (or >) anchor_ts."""
+    rows = []
+    feats = transcripts_pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    for _, a in anchors_pdf.iterrows():
+        sub = feats[feats["conv_id"] == a["conv_id"]]
+        ok = sub[sub["ts"] >= a["anchor_ts"]] if inclusive else sub[sub["ts"] > a["anchor_ts"]]
+        rec = {"conv_id": a["conv_id"], "anchor_ts": a["anchor_ts"]}
+        if len(ok):
+            first = ok.iloc[0]
+            rec["matched_ts"] = first["ts"]
+            for c in VALUE_COLS:
+                rec[c] = first[c]
+        else:
+            rec["matched_ts"] = pd.NaT
+            for c in VALUE_COLS:
+                rec[c] = None
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_pandas])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_forward_matches_naive_spec(impl, inclusive, transcripts, anchors,
+                                         transcripts_pdf, anchors_pdf):
+    """direction='forward' == the naive next-event spec (earliest
+    (ts, tie) at-or-after the anchor), both physical strategies, both
+    inclusivity modes; no matched row may precede its anchor."""
+    out = impl(
+        transcripts, anchors, value_cols=VALUE_COLS,
+        direction="forward", inclusive=inclusive,
+    )
+    assert out.filter("matched_ts < anchor_ts").count() == 0
+    got = _norm(out.toPandas())
+    exp = _norm(_forward_oracle(transcripts_pdf, anchors_pdf, inclusive=inclusive))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_forward_skips_causal_guard_and_rejects_bad_direction(spark, transcripts, anchors):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(transcripts, anchors, value_cols=VALUE_COLS, direction="sideways")
+    # a non-causal-tagged column is fine to read FORWARD (labels read the
+    # future by definition) — must not raise
+    from pyspark.sql import functions as F2
+
+    from featureengineer_spark.validation import NON_CAUSAL_KEY
+
+    tagged = transcripts.withColumn(
+        "centered", F2.col("turn_idx") * 2
+    ).withMetadata("centered", {NON_CAUSAL_KEY: True})
+    asof_join(
+        tagged, anchors, value_cols=["centered"], direction="forward"
+    ).limit(1).collect()
