@@ -349,14 +349,23 @@ def asof_join_auto(
 ) -> DataFrame:
     """Skew-aware as-of join: a cheap count-agg probe on the feature side
     picks the salted time-chunked path when any entity exceeds
-    ``heavy_threshold`` rows (same contract as ``rolling_counts_auto``)."""
+    ``heavy_threshold`` rows (same contract as ``rolling_counts_auto``).
+
+    ``direction="forward"`` always takes the plain window path — the
+    salted decomposition carries per-chunk summaries forward in time and
+    has no reversed-carry variant yet; a mega-entity forward join runs
+    correct but unsalted (one window partition per entity)."""
     from featureengineer_spark.operators.skew import has_heavy_keys
 
-    has_heavy = has_heavy_keys(features, key=entity_col, threshold=heavy_threshold)
-    if has_heavy:
-        return salted_asof_join(
-            features, anchors, entity_col=entity_col, chunk_seconds=chunk_seconds, **kw
+    if kw.get("direction", "backward") == "backward":
+        has_heavy = has_heavy_keys(
+            features, key=entity_col, threshold=heavy_threshold
         )
+        if has_heavy:
+            return salted_asof_join(
+                features, anchors, entity_col=entity_col,
+                chunk_seconds=chunk_seconds, **kw
+            )
     return asof_join(features, anchors, entity_col=entity_col, **kw)
 
 

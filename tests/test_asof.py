@@ -192,3 +192,20 @@ def test_asof_forward_skips_causal_guard_and_rejects_bad_direction(spark, transc
     asof_join(
         tagged, anchors, value_cols=["centered"], direction="forward"
     ).limit(1).collect()
+
+
+def test_asof_auto_forward_routes_plain(transcripts, anchors, transcripts_pdf, anchors_pdf):
+    """The auto router must route direction='forward' to the plain window
+    path even when the heavy probe would pick the salted path (which has
+    no reversed-carry variant), and the result must match the naive
+    forward spec."""
+    from featureengineer_spark.operators import asof_join_auto
+
+    got = _norm(
+        asof_join_auto(
+            transcripts, anchors, heavy_threshold=1,  # everything "heavy"
+            value_cols=VALUE_COLS, direction="forward",
+        ).toPandas()
+    )
+    exp = _norm(_forward_oracle(transcripts_pdf, anchors_pdf))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
