@@ -1012,6 +1012,41 @@ def q_doc_quality_quantiles(spark, sf):
     )
 
 
+def q_doc_chunks(spark, sf):
+    """Overlapping context-window chunking (RAG / long-doc prep): chunk i
+    covers chars [i·step, i·step+256), step = 256−32; every doc emits at
+    least one chunk. DuckDB replays via a lateral generate_series with the
+    identical substr arithmetic."""
+    from featureengineer_spark.operators.curation import with_chunks
+
+    out = with_chunks(
+        _t(spark, sf, "documents"), chunk_chars=256, overlap=32
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunks", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
+def q_conv_render(spark, sf):
+    """Conversation → training-text render mapped onto the events stream
+    (entity=user, order=event_id, role=event_type, text=props): turns
+    concatenated as 'role: text' joined by newline. DuckDB replays it with
+    string_agg(... ORDER BY event_id)."""
+    from featureengineer_spark.operators.curation import render_conversations
+
+    out = render_conversations(
+        _t(spark, sf, "events"),
+        entity_col="user_id",
+        idx_col="event_id",
+        role_col="event_type",
+        text_col="props",
+    )
+    return out.select(
+        "user_id", F.md5(F.col("rendered")).alias("rendered_md5"),
+        "n_turns", "n_chars",
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1672,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_mix": q_doc_token_mix,
         "doc_quality_quantiles": q_doc_quality_quantiles,
         "asof_next_purchase": q_asof_next_purchase,
+        "doc_chunks": q_doc_chunks,
+        "conv_render": q_conv_render,
     }
 
 
@@ -3166,6 +3203,28 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(floor(least(1.0,
                         CASE d.lang WHEN 'en' THEN 200000 WHEN 'es' THEN 80000 ELSE 0 END
                         / greatest(t.domain_tokens, 1)) * 1000000) AS BIGINT)
+        """,
+        "doc_chunks": r"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     greatest(CAST(ceil((length(coalesce(text, '')) - 32) / 224.0) AS BIGINT), 1) AS n_chunks
+              FROM documents
+            )
+            SELECT doc_id, g.i AS chunk_idx, n_chunks,
+                   md5(substr(t, CAST(g.i AS INTEGER) * 224 + 1, 256)) AS chunk_md5
+            FROM d, LATERAL (SELECT unnest(range(n_chunks)) AS i) g
+        """,
+        "conv_render": r"""
+            WITH r AS (
+              SELECT user_id,
+                     string_agg(event_type || ': ' || coalesce(props, ''), chr(10)
+                                ORDER BY event_id) AS rendered,
+                     count(*) AS n_turns
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, md5(rendered) AS rendered_md5, n_turns,
+                   length(rendered) AS n_chars
+            FROM r
         """,
         "doc_quality_quantiles": r"""
             SELECT lang,

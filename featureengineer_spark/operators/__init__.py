@@ -91,9 +91,11 @@ from featureengineer_spark.operators.textstats import (  # noqa: F401
 from featureengineer_spark.operators.curation import (  # noqa: F401
     conversation_quality,
     pack_sequences,
+    render_conversations,
     shuffle_shards,
     stratified_sample,
     token_budget_mix,
+    with_chunks,
 )
 from featureengineer_spark.operators.dedup import (  # noqa: F401
     band_store,

@@ -292,3 +292,89 @@ def token_budget_mix(
         )
         .drop("__domain_tokens")
     )
+
+
+def with_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size context chunking: one output row per
+    (document, chunk) with ``chunk_idx``, ``chunk_text``, ``n_chunks`` —
+    the context-window splitting step of a RAG / long-document training
+    pipeline. Chunk ``i`` covers characters ``[i·step, i·step +
+    chunk_chars)`` with ``step = chunk_chars − overlap``; every document
+    emits at least one chunk (empty text → one empty chunk), and the
+    last chunk is simply shorter.
+
+    Pure JVM expressions (``sequence`` + ``explode`` + ``substring``) —
+    whole-stage codegen, zero Python; output row count is
+    Σ ceil((len−overlap)/step), so the explode is bounded by total
+    character count / step."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got {overlap} / {chunk_chars}"
+        )
+    step = chunk_chars - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("long"), F.lit(1)
+    )
+    return (
+        df.withColumn("__n_chunks", n_chunks)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn(
+            "chunk_text",
+            F.substring(t, F.col("chunk_idx").cast("int") * step + 1, chunk_chars),
+        )
+        .withColumnRenamed("__n_chunks", "n_chunks")
+    )
+
+
+def render_conversations(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Conversation → one training-text row: turns concatenated in
+    ``idx_col`` order as ``role<role_sep>text`` joined by ``sep`` — the
+    final render step before a chat corpus is tokenized/packed. Emits
+    (entity, rendered, n_turns, n_chars).
+
+    One aggregation: ``collect_list(struct(idx, line)) → array_sort →
+    transform → array_join`` — the sort happens inside each group's
+    collected array (deterministic, partitioning-independent), never as
+    a global orderBy; shuffle bounded by |turns| then |conversations|."""
+    line = F.struct(
+        F.col(idx_col).cast("long").alias("i"),
+        F.concat(
+            F.coalesce(F.col(role_col), F.lit("")),
+            F.lit(role_sep),
+            F.coalesce(F.col(text_col), F.lit("")),
+        ).alias("s"),
+    )
+    return (
+        df.select(entity_col, line.alias("__line"))
+        .groupBy(entity_col)
+        .agg(F.array_sort(F.collect_list("__line")).alias("__lines"))
+        .select(
+            entity_col,
+            F.array_join(
+                F.transform("__lines", lambda x: x["s"]), sep
+            ).alias("rendered"),
+            F.size("__lines").cast("long").alias("n_turns"),
+        )
+        .withColumn("n_chars", F.length("rendered").cast("long"))
+    )

@@ -181,3 +181,53 @@ def test_token_budget_mix_hits_targets_and_nests(spark):
     again = token_budget_mix(df.repartition(17), targets, domain_col="lang",
                              token_col="n_tokens", seed=5)
     assert {r.doc_id for r in again.select("doc_id").collect()} == ids_small
+
+
+def test_with_chunks_matches_python_oracle(spark):
+    from featureengineer_spark.operators.curation import with_chunks
+
+    texts = {
+        0: "a" * 600,
+        1: "hello world",
+        2: "",
+        3: None,
+        4: "x" * 512,       # exactly one chunk
+        5: "y" * 513,       # just over → two chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = with_chunks(df, chunk_chars=512, overlap=64)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chunks))
+    step = 512 - 64
+    for did, text in texts.items():
+        t = text or ""
+        n_chunks = max(-(-(max(len(t) - 64, len(t) and 0)) // step), 1) if t else 1
+        import math
+        n_chunks = max(math.ceil((len(t) - 64) / step), 1)
+        exp = [(i, t[i * step : i * step + 512]) for i in range(n_chunks)]
+        rows = sorted(got[did])
+        assert [(i, c) for i, c, _ in rows] == exp, did
+        assert all(n == n_chunks for _, _, n in rows)
+        # coverage: stripping the overlap re-concatenates to the original
+        rebuilt = "".join(c if i == 0 else c[64:] for i, c, _ in rows)
+        assert rebuilt == t, did
+    with pytest.raises(ValueError, match="overlap"):
+        with_chunks(df, chunk_chars=64, overlap=64)
+
+
+def test_render_conversations(spark):
+    from featureengineer_spark.operators.curation import render_conversations
+
+    rows = [
+        ("c1", 1, "user", "hi"),
+        ("c1", 0, "system", "be helpful"),
+        ("c1", 2, "assistant", "hello"),
+        ("c2", 0, "user", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r.conv_id: r for r in render_conversations(df.repartition(5)).collect()}
+    assert got["c1"].rendered == "system: be helpful\nuser: hi\nassistant: hello"
+    assert got["c1"].n_turns == 3
+    assert got["c1"].n_chars == len(got["c1"].rendered)
+    assert got["c2"].rendered == "user: "
