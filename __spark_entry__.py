@@ -1047,6 +1047,24 @@ def q_conv_render(spark, sf):
     )
 
 
+def q_conv_dedup_turns(spark, sf):
+    """Consecutive-repeat turn cleaning mapped onto the events stream: an
+    event drops iff the immediately preceding event of the same user (by
+    event_id) has the same type and the same normalized props text — the
+    retry/resend artifact filter. DuckDB replays the lag-window
+    predicate with the identical normalization chain."""
+    from featureengineer_spark.operators.curation import drop_repeated_turns
+
+    out = drop_repeated_turns(
+        _t(spark, sf, "events"),
+        entity_col="user_id",
+        idx_col="event_id",
+        role_col="event_type",
+        text_col="props",
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
 def q_near_dedup_docs(spark, sf):
     """Terminal near-dup REMOVAL: candidate pairs (n-gram Jaccard) →
     connected components → keep the min-id canonical doc per cluster plus
@@ -1709,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase": q_asof_next_purchase,
         "doc_chunks": q_doc_chunks,
         "conv_render": q_conv_render,
+        "conv_dedup_turns": q_conv_dedup_turns,
     }
 
 
@@ -3203,6 +3222,22 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(floor(least(1.0,
                         CASE d.lang WHEN 'en' THEN 200000 WHEN 'es' THEN 80000 ELSE 0 END
                         / greatest(t.domain_tokens, 1)) * 1000000) AS BIGINT)
+        """,
+        "conv_dedup_turns": r"""
+            WITH n AS (
+              SELECT user_id, event_id, event_type,
+                     trim(regexp_replace(regexp_replace(lower(coalesce(props, '')),
+                          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM events
+            ), l AS (
+              SELECT user_id, event_id, event_type, nt,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS p_type,
+                     lag(nt) OVER (PARTITION BY user_id ORDER BY event_id) AS p_nt
+              FROM n
+            )
+            SELECT user_id, event_id, event_type
+            FROM l
+            WHERE NOT coalesce(event_type IS NOT DISTINCT FROM p_type AND nt = p_nt, FALSE)
         """,
         "doc_chunks": r"""
             WITH d AS (

@@ -90,6 +90,7 @@ from featureengineer_spark.operators.textstats import (  # noqa: F401
 )
 from featureengineer_spark.operators.curation import (  # noqa: F401
     conversation_quality,
+    drop_repeated_turns,
     pack_sequences,
     render_conversations,
     shuffle_shards,

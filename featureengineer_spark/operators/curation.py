@@ -378,3 +378,35 @@ def render_conversations(
         )
         .withColumn("n_chars", F.length("rendered").cast("long"))
     )
+
+
+def drop_repeated_turns(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Transcript cleaning: drop a turn iff the IMMEDIATELY preceding
+    turn of the same conversation (by ``idx_col``) has the same role and
+    the same normalized text — the duplicated-message artifact retries
+    and client resends leave in chat logs. Only consecutive repeats are
+    dropped (a legitimately repeated message later in the conversation
+    survives; use the dedup operators for corpus-level duplicates).
+
+    One window lag per conversation — shuffle bounded by |turns|."""
+    from pyspark.sql.window import Window
+
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    w = Window.partitionBy(entity_col).orderBy(F.col(idx_col))
+    norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+    same = (
+        (F.col(role_col).eqNullSafe(F.lag(F.col(role_col)).over(w)))
+        & (norm == F.lag(norm).over(w))
+    )
+    return (
+        df.withColumn("__rep", F.coalesce(same, F.lit(False)))
+        .filter(~F.col("__rep"))
+        .drop("__rep")
+    )

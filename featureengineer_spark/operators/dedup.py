@@ -666,17 +666,43 @@ def near_dedup_filter(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate REMOVAL: keep one canonical document per
-    near-dup cluster (the min-id representative) plus every document that
-    appears in no pair — the terminal step of a training-data dedup
-    pipeline (candidate pairs → connected components → filter), composing
-    :func:`near_dup_clusters` with a left-anti join. Shuffle bounded by
-    |pair nodes|, never |df|²; the kept set is the complement of the
-    non-canonical cluster members, so documents outside the pair graph
-    pass through untouched."""
+    near-dup cluster plus every document that appears in no pair — the
+    terminal step of a training-data dedup pipeline (candidate pairs →
+    connected components → filter), composing :func:`near_dup_clusters`
+    with a left-anti join.
+
+    The representative is the min-id member by default; pass
+    ``score_col`` (a quality signal on ``df``) to keep the
+    HIGHEST-scoring member instead (ties → lowest id) — real pipelines
+    keep the best copy, not an arbitrary one. Shuffle bounded by
+    |pair nodes| (+ one max_by agg over cluster members when scoring),
+    never |df|²; documents outside the pair graph pass through
+    untouched."""
     clusters = near_dup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
-    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if score_col is None:
+        losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        scored = clusters.join(
+            df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+            on="doc_id",
+        )
+        # keep = argmax(score) per cluster, ties to the lowest id:
+        # min_by over (−score, id) is one partial-aggregating pass and
+        # leaves the id type free (string ids can't be negated)
+        best = scored.groupBy("cluster_id").agg(
+            F.min_by(
+                "doc_id",
+                F.struct((-F.col("__s")).alias("ns"), F.col("doc_id").alias("i")),
+            ).alias("__keep")
+        )
+        losers = (
+            scored.join(best, on="cluster_id")
+            .filter(F.col("doc_id") != F.col("__keep"))
+            .select(F.col("doc_id").alias(id_col))
+        )
     return df.join(losers, on=id_col, how="left_anti")

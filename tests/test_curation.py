@@ -231,3 +231,19 @@ def test_render_conversations(spark):
     assert got["c1"].n_turns == 3
     assert got["c1"].n_chars == len(got["c1"].rendered)
     assert got["c2"].rendered == "user: "
+
+
+def test_drop_repeated_turns(spark):
+    from featureengineer_spark.operators.curation import drop_repeated_turns
+
+    rows = [
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "user", "Hello  "),      # consecutive same role+normalized text → drop
+        ("c1", 2, "assistant", "hi"),
+        ("c1", 3, "user", "hello"),        # repeat but NOT consecutive → keep
+        ("c1", 4, "user", "different"),
+        ("c2", 0, "user", "hello"),        # other conversation unaffected
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    kept = {(r.conv_id, r.turn_idx) for r in drop_repeated_turns(df.repartition(4)).collect()}
+    assert kept == {("c1", 0), ("c1", 2), ("c1", 3), ("c1", 4), ("c2", 0)}

@@ -489,3 +489,25 @@ def test_near_dedup_incremental_equals_global_first_seen(spark):
 
     assert incremental_kept == global_kept
     assert 0 < len(global_kept) < 24
+
+
+def test_near_dedup_filter_keeps_best_scoring_member(spark):
+    """score_col selection must keep the highest-quality cluster member
+    (ties → lowest id) instead of the min-id default, and unpaired docs
+    always pass."""
+    from featureengineer_spark.operators.dedup import near_dedup_filter
+
+    docs = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate([0.1, 0.9, 0.5, 0.7, 0.7, 0.3])],
+        "doc_id long, quality double",
+    )
+    # clusters: {0,1,2} and {3,4}; doc 5 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    default = {r.doc_id for r in near_dedup_filter(docs, pairs).collect()}
+    assert default == {0, 3, 5}  # min-id representatives
+    best = {r.doc_id for r in
+            near_dedup_filter(docs, pairs, score_col="quality").collect()}
+    # cluster {0,1,2}: max quality 0.9 → doc 1; {3,4}: tie 0.7 → lowest id 3
+    assert best == {1, 3, 5}
