@@ -1047,6 +1047,22 @@ def q_conv_render(spark, sf):
     )
 
 
+def q_doc_bigram_logprob(spark, sf):
+    """Per-document mean bigram conditional log-probability (the
+    conditional KenLM-proxy upgrade of doc_unigram_logprob): add-one
+    smoothing over prev-totals + vocab, OOV floors for unseen
+    pair/unseen prev, null for sub-2-token docs — the full pair-count /
+    prev-total / vocab chain replayed in DuckDB."""
+    from featureengineer_spark.operators.textstats import with_bigram_logprob
+
+    out = with_bigram_logprob(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        _r(F.col("mean_bigram_logprob")).alias("mean_bigram_logprob"),
+        "n_scored_pairs",
+    )
+
+
 def q_conv_dedup_turns(spark, sf):
     """Consecutive-repeat turn cleaning mapped onto the events stream: an
     event drops iff the immediately preceding event of the same user (by
@@ -1728,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "conv_render": q_conv_render,
         "conv_dedup_turns": q_conv_dedup_turns,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
     }
 
 
@@ -3222,6 +3239,43 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(floor(least(1.0,
                         CASE d.lang WHEN 'en' THEN 200000 WHEN 'es' THEN 80000 ELSE 0 END
                         / greatest(t.domain_tokens, 1)) * 1000000) AS BIGINT)
+        """,
+        "doc_bigram_logprob": r"""
+            WITH base AS (
+              SELECT doc_id, list_filter(string_split(
+                trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+                w -> length(w) > 0) AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, g.i AS ord, ws[CAST(g.i AS INTEGER) + 1] AS w
+              FROM base, LATERAL (SELECT unnest(range(len(ws))) AS i) g
+            ), pairs AS (
+              SELECT doc_id, prev, w AS word FROM (
+                SELECT doc_id, w,
+                       lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+                FROM toks
+              ) WHERE prev IS NOT NULL
+            ), pc AS (
+              SELECT prev, word, count(*) AS n FROM pairs GROUP BY prev, word
+            ), pt AS (
+              SELECT prev, count(*) AS n_prev FROM pairs GROUP BY prev
+            ), v AS (
+              SELECT count(DISTINCT w) AS vocab FROM toks
+            ), scored AS (
+              SELECT p.doc_id,
+                     ln((coalesce(pc.n, 0) + 1.0)
+                        / (coalesce(pt.n_prev, 0) + v.vocab + 1.0)) AS lp
+              FROM pairs p
+              LEFT JOIN pc ON pc.prev = p.prev AND pc.word = p.word
+              LEFT JOIN pt ON pt.prev = p.prev
+              CROSS JOIN v
+            ), per_doc AS (
+              SELECT doc_id, avg(lp) AS m, CAST(count(*) AS BIGINT) AS n_scored_pairs
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, round(per_doc.m, 6) AS mean_bigram_logprob,
+                   per_doc.n_scored_pairs
+            FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
         """,
         "conv_dedup_turns": r"""
             WITH n AS (

@@ -77,9 +77,11 @@ from featureengineer_spark.operators.whitening import (  # noqa: F401
     fit_whitener,
 )
 from featureengineer_spark.operators.textstats import (  # noqa: F401
+    bigram_model,
     contamination_overlap,
     quantile_thresholds,
     unigram_model,
+    with_bigram_logprob,
     with_fingerprint,
     with_lang_id,
     with_quality_score,

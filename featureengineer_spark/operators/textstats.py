@@ -377,3 +377,135 @@ def quantile_thresholds(
         for i, q in enumerate(qs)
     ]
     return out.select(*cols)
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram model: (prev, word, n, logp) with add-one smoothing
+    — ``logp = log((n(prev,word)+1) / (n(prev)+V+1))`` where V is the
+    corpus unigram vocabulary size. The conditional upgrade of
+    :func:`unigram_model` (a closer KenLM-score proxy: word-salad text
+    with plausible unigrams still scores low).
+
+    Physical shape: ONE pair construction per document (a JVM
+    ``transform`` over the bound words array — no self-join, no window)
+    → explode → one count aggregation; shuffle bounded by token count.
+    ``min_count`` caps the table for broadcasting (counts below it drop
+    to the OOV floor, which :func:`with_bigram_logprob` reconstructs
+    from the prev-totals)."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.split(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__w")
+    ).select(F.filter("__w", lambda w: F.length(w) > 0).alias("__w"))
+    n = F.size("__w")
+    pairs = words.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+                    lambda i: F.struct(
+                        F.element_at("__w", i - 1).alias("prev"),
+                        F.element_at("__w", i).alias("word"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
+        ).alias("p")
+    ).select("p.prev", "p.word")
+    counts = pairs.groupBy("prev", "word").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    prev_totals = pairs.groupBy("prev").agg(F.count("*").alias("__n_prev"))
+    vocab = words.select(F.explode("__w").alias("word")).agg(
+        F.count_distinct("word").alias("__vocab")
+    )
+    return (
+        counts.join(prev_totals, on="prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "word",
+            "n",
+            F.log(
+                (F.col("n") + 1.0)
+                / (F.col("__n_prev") + F.col("__vocab") + 1.0)
+            ).alias("logp"),
+            "__n_prev",
+            "__vocab",
+        )
+    )
+
+
+def with_bigram_logprob(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    max_broadcast_vocab: int = MAX_BROADCAST_VOCAB_ROWS,
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ``mean(log p(wᵢ | wᵢ₋₁))`` — the fluency signal that separates
+    coherent text from plausible-unigram word salad. Documents with
+    fewer than two tokens get null (no pairs to score).
+
+    Unseen (prev, word) pairs with a KNOWN prev take the smoothed floor
+    ``log(1/(n(prev)+V+1))``; pairs with an unseen prev take
+    ``log(1/(V+1))``. Model side broadcast under the same Zipf-skew
+    policy as :func:`with_unigram_logprob` (the join key ``prev,word``
+    is head-heavy)."""
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    if model is None:
+        model = bigram_model(df, text_col)
+    words = df.select(
+        F.col(id_col),
+        F.split(
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__w"),
+    ).select(
+        id_col, F.filter("__w", lambda w: F.length(w) > 0).alias("__w")
+    )
+    n = F.size("__w")
+    doc_pairs = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+                    lambda i: F.struct(
+                        F.element_at("__w", i - 1).alias("prev"),
+                        F.element_at("__w", i).alias("word"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
+        ).alias("p"),
+    ).select(id_col, "p.prev", "p.word")
+    consts = model.agg(F.first("__vocab").alias("__v"))
+    prev_totals = model.select("prev", "__n_prev").dropDuplicates(["prev"])
+    pair_logp = model.select("prev", "word", "logp")
+    if broadcast_model is None:
+        from featureengineer_spark.operators.similarity import _fits_rows
+
+        broadcast_model = _fits_rows(pair_logp, max_broadcast_vocab)
+    if broadcast_model:
+        pair_logp = F.broadcast(pair_logp)
+        prev_totals = F.broadcast(prev_totals)
+    scored = (
+        doc_pairs.join(pair_logp, on=["prev", "word"], how="left")
+        .join(prev_totals, on="prev", how="left")
+        .crossJoin(F.broadcast(consts))
+    )
+    floor = F.log(
+        1.0 / (F.coalesce(F.col("__n_prev"), F.lit(0)) + F.col("__v") + 1.0)
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.avg(F.coalesce(F.col("logp"), floor)).alias("mean_bigram_logprob"),
+        F.count("*").alias("n_scored_pairs"),
+    )
+    return df.join(per_doc, on=id_col, how="left")

@@ -183,3 +183,66 @@ def test_quantile_thresholds_exact_and_approx(spark):
         np.percentile(np.array([v for _, _, v in rows]), 50),
         rtol=1e-9,
     )
+
+
+def test_bigram_logprob_matches_python_oracle(spark):
+    """Bigram model + per-doc mean conditional logprob vs a literal
+    python replication: add-one smoothing over (prev totals + V), OOV
+    floors for unseen pair/unseen prev, null for sub-2-token docs, and
+    the fluency property (coherent corpus text outscores shuffled word
+    salad with identical unigrams)."""
+    import math
+
+    from featureengineer_spark.operators.textstats import (
+        bigram_model,
+        with_bigram_logprob,
+    )
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the rug",
+        2: "the dog sat on the mat",
+        3: "mat the on sat cat the",   # same unigrams as 0, scrambled
+        4: "one",                      # single token → no pairs → null
+        5: "",                         # empty → null
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in with_bigram_logprob(df).collect()}
+
+    # python replication
+    def toks(t):
+        import re
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return [w for w in re.sub(r"\s+", " ", t).strip().split(" ") if w]
+
+    pair_counts, prev_counts, vocab = {}, {}, set()
+    for t in texts.values():
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+            prev_counts[a] = prev_counts.get(a, 0) + 1
+    V = len(vocab)
+    for did, t in texts.items():
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert out[did].mean_bigram_logprob is None
+            continue
+        lps = [
+            math.log(
+                (pair_counts.get((a, b), 0) + 1)
+                / (prev_counts.get(a, 0) + V + 1)
+            )
+            for a, b in pairs
+        ]
+        assert abs(out[did].mean_bigram_logprob - sum(lps) / len(lps)) < 1e-9, did
+        assert out[did].n_scored_pairs == len(pairs)
+    # fluency: scrambled doc scores strictly below its coherent twin
+    assert out[3].mean_bigram_logprob < out[0].mean_bigram_logprob
+    # explicit model reuse path + broadcast off gives identical values
+    m = bigram_model(df)
+    alt = {r.doc_id: r.mean_bigram_logprob
+           for r in with_bigram_logprob(df, m, broadcast_model=False).collect()}
+    for did in (0, 1, 2, 3):
+        assert abs(alt[did] - out[did].mean_bigram_logprob) < 1e-12
