@@ -377,6 +377,41 @@ def q_ngram_jaccard(spark, sf):
     return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf):
+    """Asymmetric n-gram containment (|A∩B|/|A| per direction) — the
+    quote/subset detector Jaccard misses. Same inverted-index + df-cap
+    machinery as ngram_jaccard; gate = larger directional containment ≥
+    0.6, with both directions and jaccard emitted."""
+    from featureengineer_spark.operators.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.6
+    )
+    return out.select(
+        "id_a", "id_b",
+        _r(F.col("containment_a")).alias("containment_a"),
+        _r(F.col("containment_b")).alias("containment_b"),
+        _r(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def q_conv_dedup_convs(spark, sf):
+    """Conversation-level exact dedup mapped onto the events stream:
+    users whose RENDERED event transcript (event_type: props lines in
+    event_id order) is byte-identical dedup to the min user_id; the
+    survivors' full turn rows pass. DuckDB replays render→md5→min→semi."""
+    from featureengineer_spark.operators.dedup import dedup_conversations
+
+    out = dedup_conversations(
+        _t(spark, sf, "events"),
+        entity_col="user_id",
+        idx_col="event_id",
+        role_col="event_type",
+        text_col="props",
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
 def q_knn_cosine(spark, sf):
     from featureengineer_spark.operators.similarity import cosine_topk
 
@@ -1745,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_render": q_conv_render,
         "conv_dedup_turns": q_conv_dedup_turns,
         "doc_bigram_logprob": q_doc_bigram_logprob,
+        "ngram_containment": q_ngram_containment,
+        "conv_dedup_convs": q_conv_dedup_convs,
     }
 
 
@@ -2711,6 +2748,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """,
+        "ngram_containment": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM w
+            ), e0 AS (
+              SELECT doc_id, unnest(grams) AS sh FROM g
+            ), e AS (
+              SELECT e0.doc_id, e0.sh FROM e0
+              JOIN (SELECT sh FROM e0 GROUP BY sh HAVING count(*) <= 1000) k
+                ON k.sh = e0.sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / sa.n, 6) AS containment_a,
+                   round(i * 1.0 / sb.n, 6) AS containment_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.6
+        """,
+        "conv_dedup_convs": r"""
+            WITH r AS (
+              SELECT user_id,
+                     md5(string_agg(event_type || ': ' || coalesce(props, ''), chr(10)
+                                    ORDER BY event_id)) AS rh
+              FROM events GROUP BY user_id
+            ), keep AS (
+              SELECT min(user_id) AS user_id FROM r GROUP BY rh
+            )
+            SELECT e.user_id, e.event_id, e.event_type
+            FROM events e SEMI JOIN keep k ON k.user_id = e.user_id
         """,
         "interval_session_lookup": f"""
             WITH g AS (

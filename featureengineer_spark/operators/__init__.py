@@ -102,7 +102,9 @@ from featureengineer_spark.operators.curation import (  # noqa: F401
 )
 from featureengineer_spark.operators.dedup import (  # noqa: F401
     band_store,
+    dedup_conversations,
     near_dedup_filter,
     near_dedup_first_seen,
     near_dedup_incremental,
+    ngram_containment_pairs,
 )

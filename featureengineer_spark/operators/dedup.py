@@ -706,3 +706,88 @@ def near_dedup_filter(
             .select(F.col("doc_id").alias(id_col))
         )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT — ``|A∩B| / |A|`` per direction —
+    for pairs sharing ≥1 shingle: the quote/subset detector Jaccard
+    misses (a short document fully embedded in a long one has low
+    Jaccard but containment 1.0; the standard signal for excerpt
+    duplication and quotation laundering in training corpora).
+
+    Same inverted-index machinery and stop-shingle df cap as
+    :func:`ngram_jaccard_pairs` (cap applied consistently to both the
+    intersection and the size sides). Emits (id_a, id_b, containment_a,
+    containment_b, jaccard) for pairs whose LARGER directional
+    containment clears ``threshold``; id_a < id_b."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+        keep = dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh")
+        sh = sh.join(keep, on="__sh", how="inner")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / F.col("__na")).alias("containment_a"),
+            (F.col("__inter") / F.col("__nb")).alias("containment_b"),
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+    )
+    return out
+
+
+def dedup_conversations(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup: two conversations are duplicates
+    iff their RENDERED transcripts (turns in ``idx_col`` order as
+    ``role: text``) are byte-identical — the re-ingested-under-a-new-id
+    artifact a turn-level or document-level dedup cannot see. Keeps the
+    min-``entity_col`` conversation per rendered form and returns the
+    surviving TURN rows (all columns intact).
+
+    Physical shape: one render aggregation (|conversations| rows) → one
+    min-entity agg per rendered hash → semi join back on the entity key;
+    the corpus itself shuffles once on ``entity_col``."""
+    from featureengineer_spark.operators.curation import render_conversations
+
+    rendered = render_conversations(
+        df, entity_col=entity_col, idx_col=idx_col,
+        role_col=role_col, text_col=text_col,
+    ).select(entity_col, F.md5("rendered").alias("__rh"))
+    keep = rendered.groupBy("__rh").agg(
+        F.min(entity_col).alias(entity_col)
+    ).select(entity_col)
+    return df.join(keep, on=entity_col, how="left_semi")

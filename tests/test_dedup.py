@@ -511,3 +511,44 @@ def test_near_dedup_filter_keeps_best_scoring_member(spark):
             near_dedup_filter(docs, pairs, score_col="quality").collect()}
     # cluster {0,1,2}: max quality 0.9 → doc 1; {3,4}: tie 0.7 → lowest id 3
     assert best == {1, 3, 5}
+
+
+def test_ngram_containment_catches_subset_docs(spark):
+    """A short doc fully embedded in a long one must clear the
+    containment gate even though its Jaccard is low, and the directional
+    values must match the python set oracle."""
+    from featureengineer_spark.operators.dedup import ngram_containment_pairs
+
+    long_words = [f"w{i}" for i in range(40)]
+    short_words = long_words[10:18]  # strict subset
+    other = [f"z{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(long_words)), (1, " ".join(short_words)), (2, " ".join(other))],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r for r in
+           ngram_containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert set(got) == {(0, 1)}
+    def sh(ws):
+        return {" ".join(ws[i:i+3]) for i in range(max(len(ws)-2, 1))}
+    A, B = sh(long_words), sh(short_words)
+    inter = len(A & B)
+    r = got[(0, 1)]
+    assert abs(r.containment_a - inter/len(A)) < 1e-12
+    assert abs(r.containment_b - inter/len(B)) < 1e-12  # == 1.0
+    assert r.containment_b == 1.0
+    assert r.jaccard < 0.8  # Jaccard alone would have missed it
+
+
+def test_dedup_conversations_keeps_min_entity(spark):
+    from featureengineer_spark.operators.dedup import dedup_conversations
+
+    rows = []
+    for conv, base in (("c1", 0), ("c3", 0), ("c2", 1)):  # c3 == c1 re-ingested
+        for i in range(3):
+            rows.append((conv, i, "user" if i % 2 == 0 else "assistant",
+                         f"turn {base} {i}"))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    kept = dedup_conversations(df.repartition(5))
+    assert {r.conv_id for r in kept.select("conv_id").distinct().collect()} == {"c1", "c2"}
+    assert kept.count() == 6  # full turn rows of survivors
