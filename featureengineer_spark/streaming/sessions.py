@@ -324,6 +324,57 @@ def stream_sliding_activity(
     )
 
 
+def stream_render_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Streaming conversation render at SESSION CLOSE: once a
+    conversation goes idle past ``gap`` (watermark-confirmed), its
+    session's turns are emitted as ONE rendered training-text row —
+    ``role<role_sep>text`` lines in ``idx_col`` order — the streaming
+    form of ``curation.render_conversations`` scoped to gap sessions
+    (the "conversation finished, ship it to the training corpus"
+    trigger; parity-tested against the batch sessionize+render
+    composition).
+
+    One stateful ``session_window`` aggregation; state per open session
+    is its collected turn list, expired at watermark close — bounded by
+    (open sessions) × (turns per session), the same envelope any
+    conversation-completion consumer needs."""
+    line = F.struct(
+        F.col(idx_col).cast("long").alias("i"),
+        F.concat(
+            F.coalesce(F.col(role_col), F.lit("")),
+            F.lit(role_sep),
+            F.coalesce(F.col(text_col), F.lit("")),
+        ).alias("s"),
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            entity_col, F.session_window(F.col(ts_col), gap).alias("session")
+        )
+        .agg(F.array_sort(F.collect_list(line)).alias("__lines"))
+        .select(
+            entity_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            F.array_join(
+                F.transform("__lines", lambda x: x["s"]), sep
+            ).alias("rendered"),
+            F.size("__lines").cast("long").alias("n_turns"),
+        )
+    )
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

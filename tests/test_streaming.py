@@ -628,3 +628,67 @@ def test_stream_dedup_neardup_restart_and_new_data(spark, tmp_path):
     assert 10 not in kept        # suppressed by the pre-restart store
     assert 11 in kept            # fresh doc passes
     assert spark.read.parquet(str(tmp_path / "r_store")).count() == 8 * 8
+
+
+def test_stream_render_sessions_matches_batch_composition(spark, transcripts, tmp_path):
+    """Streaming conversation render at session close == the batch
+    sessionize+render composition: same session boundaries, same
+    rendered text per (conv, session)."""
+    from featureengineer_spark.streaming.sessions import stream_render_sessions
+
+    src = str(tmp_path / "rr_in")
+    sentinel = transcripts.groupBy("conv_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).select(
+        "conv_id",
+        F.lit(10_000_000).alias("turn_idx"),
+        F.lit("system").alias("role"),
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    transcripts.unionByName(sentinel).repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = (
+        stream_render_sessions(stream, gap="30 minutes")
+        .writeStream.format("memory").queryName("rendered_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    max_real_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    got = {
+        (r.conv_id, r.session_start): (r.rendered, r.n_turns)
+        for r in spark.table("rendered_sessions")
+        .filter(F.col("session_start") <= F.lit(max_real_ts))
+        .collect()
+    }
+
+    batch = with_session_ids(transcripts, idle_timeout_s=1800.0)
+    line = F.struct(
+        F.col("turn_idx").cast("long").alias("i"),
+        F.concat(
+            F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("s"),
+    )
+    exp = {
+        (r.conv_id, r.session_start): (r.rendered, r.n_turns)
+        for r in batch.groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.array_sort(F.collect_list(line)).alias("__lines"),
+        )
+        .select(
+            "conv_id", "session_start",
+            F.array_join(F.transform("__lines", lambda x: x["s"]), "\n").alias("rendered"),
+            F.size("__lines").cast("long").alias("n_turns"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0
