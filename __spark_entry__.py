@@ -1098,6 +1098,23 @@ def q_doc_bigram_logprob(spark, sf):
     )
 
 
+def q_time_features(spark, sf):
+    """Calendar/cyclic timestamp encodings over the events stream —
+    hour/weekday/is_weekend plus (sin, cos) cyclic pairs; weekday pinned
+    to the Monday=0 convention in both engines (Spark weekday == DuckDB
+    isodow−1)."""
+    from featureengineer_spark.operators.windows import with_time_features
+
+    out = with_time_features(_t(spark, sf, "events"))
+    return out.select(
+        "event_id", "hour", "weekday", "is_weekend",
+        _r(F.col("sin_hour")).alias("sin_hour"),
+        _r(F.col("cos_hour")).alias("cos_hour"),
+        _r(F.col("sin_weekday")).alias("sin_weekday"),
+        _r(F.col("cos_weekday")).alias("cos_weekday"),
+    )
+
+
 def q_conv_dedup_turns(spark, sf):
     """Consecutive-repeat turn cleaning mapped onto the events stream: an
     event drops iff the immediately preceding event of the same user (by
@@ -1782,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "ngram_containment": q_ngram_containment,
         "conv_dedup_convs": q_conv_dedup_convs,
+        "time_features": q_time_features,
     }
 
 
@@ -3355,6 +3373,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, round(per_doc.m, 6) AS mean_bigram_logprob,
                    per_doc.n_scored_pairs
             FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+        """,
+        "time_features": r"""
+            SELECT event_id,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+                   CAST(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+                   round(sin(hour(ts) * 2 * pi() / 24.0), 6) AS sin_hour,
+                   round(cos(hour(ts) * 2 * pi() / 24.0), 6) AS cos_hour,
+                   round(sin((isodow(ts) - 1) * 2 * pi() / 7.0), 6) AS sin_weekday,
+                   round(cos((isodow(ts) - 1) * 2 * pi() / 7.0), 6) AS cos_weekday
+            FROM events
         """,
         "conv_dedup_turns": r"""
             WITH n AS (

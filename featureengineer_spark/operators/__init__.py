@@ -9,6 +9,7 @@ from featureengineer_spark.operators.windows import (  # noqa: F401
     with_deltas,
     with_group_norm,
     with_cumulative,
+    with_time_features,
     with_ewma,
     with_iir,
     iir_impulse_response,

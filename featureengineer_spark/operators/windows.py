@@ -478,3 +478,31 @@ def holdout_split(
     return df.withColumn(
         out_col, F.when(rn <= n_holdout, F.lit("holdout")).otherwise(F.lit("train"))
     )
+
+
+def with_time_features(df, ts_col: str = "ts", prefix: str = "") -> "DataFrame":
+    """Calendar/cyclic encodings of an event timestamp — the standard
+    temporal feature block every (conv_id, ts)-keyed model consumes:
+
+    * ``hour`` (0–23), ``weekday`` (0=Monday … 6=Sunday), ``is_weekend``
+    * ``sin_hour``/``cos_hour`` and ``sin_weekday``/``cos_weekday`` —
+      cyclic encodings so 23:00 and 00:00 are neighbors (a raw hour
+      column puts them 23 apart)
+
+    Pure map-side expressions (zero shuffle, whole-stage codegen) and
+    strictly causal (each row reads only its own timestamp), so the
+    columns are safe feature inputs for the as-of joins."""
+    import math
+
+    h = F.hour(F.col(ts_col)).cast("double")
+    wd = F.weekday(F.col(ts_col)).cast("double")
+    two_pi = 2.0 * math.pi
+    return (
+        df.withColumn(f"{prefix}hour", h.cast("int"))
+        .withColumn(f"{prefix}weekday", wd.cast("int"))
+        .withColumn(f"{prefix}is_weekend", (wd >= 5).cast("int"))
+        .withColumn(f"{prefix}sin_hour", F.sin(h * (two_pi / 24.0)))
+        .withColumn(f"{prefix}cos_hour", F.cos(h * (two_pi / 24.0)))
+        .withColumn(f"{prefix}sin_weekday", F.sin(wd * (two_pi / 7.0)))
+        .withColumn(f"{prefix}cos_weekday", F.cos(wd * (two_pi / 7.0)))
+    )

@@ -205,3 +205,34 @@ def test_with_iir_pure_fir_and_unstable_raises(spark):
     # unstable pole must be rejected, not silently truncated
     with pytest.raises(ValueError, match="unstable"):
         iir_impulse_response([1.0], [1.0, -1.01], max_len=4096)
+
+
+def test_with_time_features_matches_python(spark):
+    """Calendar/cyclic encodings vs a literal python datetime oracle,
+    including the weekday convention (0=Monday) and cyclic wraparound
+    (23:00 adjacent to 00:00 in (sin,cos) space)."""
+    import datetime as dt
+    import math
+
+    from featureengineer_spark.operators.windows import with_time_features
+
+    stamps = [
+        dt.datetime(2024, 3, 1, 0, 0),    # Friday
+        dt.datetime(2024, 3, 2, 23, 59),  # Saturday
+        dt.datetime(2024, 3, 4, 12, 30),  # Monday
+        dt.datetime(2024, 3, 3, 6, 0),    # Sunday
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(stamps)], "i long, ts timestamp")
+    got = {r.i: r for r in with_time_features(df).collect()}
+    for i, t in enumerate(stamps):
+        r = got[i]
+        assert r.hour == t.hour and r.weekday == t.weekday()
+        assert r.is_weekend == (1 if t.weekday() >= 5 else 0)
+        assert abs(r.sin_hour - math.sin(2 * math.pi * t.hour / 24)) < 1e-12
+        assert abs(r.cos_weekday - math.cos(2 * math.pi * t.weekday() / 7)) < 1e-12
+    # cyclic adjacency: hour 23 is closer to hour 0 than to hour 12
+    import numpy as np
+    def vec(r): return np.array([r.sin_hour, r.cos_hour])
+    d_230 = np.linalg.norm(vec(got[1]) - vec(got[0]))   # 23:59 vs 00:00
+    d_2312 = np.linalg.norm(vec(got[1]) - vec(got[2]))  # 23:59 vs 12:30
+    assert d_230 < d_2312
