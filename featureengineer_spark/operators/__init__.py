@@ -51,6 +51,8 @@ from featureengineer_spark.operators.dedup import (  # noqa: F401
 )
 from featureengineer_spark.operators.similarity import (  # noqa: F401
     ann_topk_ivf,
+    build_ivf_index,
+    search_ivf_index,
     ann_topk_lsh,
     cosine_topk,
     hyperplane_tables,

@@ -555,3 +555,144 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    its inverted-list assignment (``list_id``), with the coarse-quantizer
+    centroids in a JSON sidecar. At corpus scale this converts every
+    subsequent search into a PARTITION-PRUNED scan — only the probed
+    ``n_probe/n_lists`` fraction of the corpus is read from storage,
+    instead of re-assigning the whole corpus per query batch the way
+    :func:`ann_topk_ivf` must. Returns the centroids.
+
+    Assignment is the same stable lowest-list argmin as the search
+    kernels, so a persisted index and an in-memory search agree
+    exactly."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_kmeans(
+            corpus.select(F.col(vec_col)), k=n_lists, n_iter=kmeans_iter,
+            vec_col=vec_col, seed=seed,
+        )
+    sc = corpus.sparkSession.sparkContext
+    b_c = sc.broadcast(centroids)
+
+    def assign(v):
+        import pandas as pd
+
+        c = b_c.value
+        x = np.vstack(v.to_numpy())
+        d2 = (c * c).sum(axis=1) - 2.0 * (x @ c.T)
+        return pd.Series(np.argsort(d2, axis=1, kind="stable")[:, 0].astype(np.int32))
+
+    from pyspark.sql import types as T
+
+    assign_udf = F.pandas_udf(assign, T.IntegerType())
+    (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    meta = {
+        "n_lists": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [float(v) for v in centroids.ravel()],
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return centroids
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a persisted :func:`build_ivf_index`
+    store: the query side's probed list set (≤ ``n_probe``·|distinct
+    queries' lists| values, bounded by ``n_lists``) prunes the scan to
+    those PARTITIONS — the plan shows ``PartitionFilters`` on
+    ``list_id``, so storage I/O is ``n_probe/n_lists`` of the corpus —
+    then the candidate equi join on ``list_id`` and the exact cosine
+    re-rank run identically to :func:`ann_topk_ivf` (same stable
+    assignment, same (cosine desc, id asc) ties)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = np.array(meta["centroids"]).reshape(meta["n_lists"], meta["dim"])
+    id_col = meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+
+    sc = spark.sparkContext
+    b_c = sc.broadcast(centroids)
+
+    def probe(v):
+        import pandas as pd
+
+        c = b_c.value
+        x = np.vstack(v.to_numpy())
+        d2 = (c * c).sum(axis=1) - 2.0 * (x @ c.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    from pyspark.sql import types as T
+
+    probe_udf = F.pandas_udf(probe, T.ArrayType(T.IntegerType()))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+        _norm(vec_col).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
+    # the probed list set is bounded by n_lists — a tiny driver-side
+    # collect that becomes an IN-list partition filter on the store scan
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    store = (
+        spark.read.parquet(path)
+        .filter(F.col("list_id").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.col("list_id"),
+            _norm(vec_col).alias("__cn"),
+        )
+        .filter(F.col("__cn") > 0)
+    )
+    pairs = store.join(F.broadcast(q), on="list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        query_id_col,
+        "neighbor_id",
+        (_dot(vec_col, "__qv") / (F.col("__cn") * F.col("__qn"))).alias("cosine"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )

@@ -552,3 +552,31 @@ def test_dedup_conversations_keeps_min_entity(spark):
     kept = dedup_conversations(df.repartition(5))
     assert {r.conv_id for r in kept.select("conv_id").distinct().collect()} == {"c1", "c2"}
     assert kept.count() == 6  # full turn rows of survivors
+
+
+def test_ivf_index_persist_search_matches_inmemory(spark, clustered_vecs, tmp_path):
+    """A persisted IVF index must (a) return exactly the in-memory
+    ann_topk_ivf results under the same centroids, and (b) prune the
+    store scan to the probed list partitions (PartitionFilters on
+    list_id in the executed plan)."""
+    from featureengineer_spark.operators.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(clustered_vecs, path, n_lists=8, seed=3)
+    queries = clustered_vecs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = search_ivf_index(spark, path, queries, k=5, n_probe=2)
+    exp = ann_topk_ivf(
+        clustered_vecs, queries, k=5, n_lists=8, n_probe=2, centroids=cents,
+        broadcast_queries=False,  # force the join path: same candidate set shape
+    )
+    g = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in got.collect()}
+    e = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in exp.collect()}
+    assert g == e
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
