@@ -680,7 +680,12 @@ def search_ivf_index(
         )
         .filter(F.col("__cn") > 0)
     )
-    pairs = store.join(F.broadcast(q), on="list_id").filter(
+    # guarded broadcast: a bounded query batch rides a broadcast join; an
+    # all-pairs-shaped call falls back to a shuffle equi join on list_id
+    q = _broadcast_if_small(
+        q, None, DEFAULT_MAX_BROADCAST_ROWS, count_on=queries, fanout=n_probe
+    )
+    pairs = store.join(q, on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )
     scored = pairs.select(
