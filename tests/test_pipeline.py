@@ -183,8 +183,21 @@ def test_ivector_pipeline_survives_sigkill(spark, tmp_path):
         [sys.executable, "-c", script],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
-    time.sleep(25)  # mid-flight for this config on this box
-    killed = proc.poll() is None
+    # kill MID-FLIGHT by construction, not by a fixed sleep (a fixed
+    # sleep goes flaky the moment the box runs the pipeline faster than
+    # the sleep): wait until the first stage manifest commits, then kill
+    # while the last stage's manifest is still absent — something
+    # attested, something left to redo.
+    first_m = os.path.join(root, "features", "manifest.json")
+    last_m = os.path.join(root, "latent", "manifest.json")
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # completed before we could catch it mid-flight
+        if os.path.exists(first_m) and not os.path.exists(last_m):
+            break
+        time.sleep(0.2)
+    killed = proc.poll() is None and not os.path.exists(last_m)
     proc.send_signal(signal.SIGKILL)
     proc.wait()
 
