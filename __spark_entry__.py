@@ -1697,34 +1697,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-5 window ROTATION (see COVERAGE.md): the driver certifies only
-    # the first 50 entries. This round the 10 queries that have never held
-    # a driver-certified row move INTO the window — the 6 trained-model
-    # queries (gmm_suff_stats, latent_factors, trial_scores_plda,
-    # sphnorm_plda_scores, lda_wccn_scores, ann_ivf) and the 4 late-round-4
-    # curation queries (doc_unigram_logprob, doc_sample_stratified,
-    # doc_pack_sequences, session_quality). Displaced to the tail: 10
-    # queries each certified green in ALL FOUR prior rounds (anti_join,
-    # asof_purchase_click, backfill, conv_embedding, count_distinct,
-    # doc_fingerprint, doc_lang_id, doc_quality, doc_token_stats,
-    # except_all). scripts/check_oracle.py still value-checks every
-    # oracle-backed entry, window or tail.
+    # Round-6 window ROTATION (see COVERAGE.md): the driver certifies only
+    # the first 50 entries. This round the 11 round-5 additions that have
+    # never held a driver-certified row move INTO the window —
+    # doc_shuffle_shards, doc_token_mix, doc_quality_quantiles,
+    # asof_next_purchase, doc_chunks, conv_render, conv_dedup_turns,
+    # doc_bigram_logprob, ngram_containment, conv_dedup_convs,
+    # time_features. Displaced to the tail: 11 queries each certified
+    # green in ALL FIVE prior rounds (sliding_norm, group_norm,
+    # topk_events, pricing_summary, join_rollup, left_join, holdout_split,
+    # multikey_join, right_join, unpivot_stack, global_stats). After this
+    # round every one of the 86 oracle-backed queries holds a
+    # driver-certified row from some round. scripts/check_oracle.py still
+    # value-checks every oracle-backed entry, window or tail.
     return {
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
-        "sliding_norm": q_sliding_norm,
-        "group_norm": q_group_norm,
         "group_norm_scaled": q_group_norm_scaled,
-        "topk_events": q_topk_events,
-        "pricing_summary": q_pricing_summary,
-        "join_rollup": q_join_rollup,
-        "left_join": q_left_join,
         "interval_session_lookup": q_interval_session_lookup,
-        "holdout_split": q_holdout_split,
-        "multikey_join": q_multikey_join,
-        "right_join": q_right_join,
-        "unpivot_stack": q_unpivot_stack,
-        "global_stats": q_global_stats,
         "string_funcs": q_string_funcs,
         "null_drop": q_null_drop,
         "media_features": q_media_features,
@@ -1760,9 +1750,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
         "session_quality": q_session_quality,
+        "doc_shuffle_shards": q_doc_shuffle_shards,
+        "doc_token_mix": q_doc_token_mix,
+        "doc_quality_quantiles": q_doc_quality_quantiles,
+        "asof_next_purchase": q_asof_next_purchase,
+        "doc_chunks": q_doc_chunks,
+        "conv_render": q_conv_render,
+        "conv_dedup_turns": q_conv_dedup_turns,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "ngram_containment": q_ngram_containment,
+        "conv_dedup_convs": q_conv_dedup_convs,
+        "time_features": q_time_features,
         # --- entries 51+ sit past the driver's 50-query window; every one
         # holds a driver-certified green row from a prior round
-        # (CORRECTNESS_r0{1,2,3,4}) and stays value-checked each round by
+        # (CORRECTNESS_r0{1,2,3,4,5}) and stays value-checked each round by
         # scripts/check_oracle.py.
         "inter_event_latency": q_inter_event_latency,
         "union_distinct": q_union_distinct,
@@ -1789,17 +1790,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_token_stats": q_doc_token_stats,
         "except_all": q_except_all,
-        "doc_shuffle_shards": q_doc_shuffle_shards,
-        "doc_token_mix": q_doc_token_mix,
-        "doc_quality_quantiles": q_doc_quality_quantiles,
-        "asof_next_purchase": q_asof_next_purchase,
-        "doc_chunks": q_doc_chunks,
-        "conv_render": q_conv_render,
-        "conv_dedup_turns": q_conv_dedup_turns,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "ngram_containment": q_ngram_containment,
-        "conv_dedup_convs": q_conv_dedup_convs,
-        "time_features": q_time_features,
+        "sliding_norm": q_sliding_norm,
+        "group_norm": q_group_norm,
+        "topk_events": q_topk_events,
+        "pricing_summary": q_pricing_summary,
+        "join_rollup": q_join_rollup,
+        "left_join": q_left_join,
+        "holdout_split": q_holdout_split,
+        "multikey_join": q_multikey_join,
+        "right_join": q_right_join,
+        "unpivot_stack": q_unpivot_stack,
+        "global_stats": q_global_stats,
     }
 
 
