@@ -261,11 +261,17 @@ def token_budget_mix(
     callers needing exact truncation chain :func:`pack_sequences` and
     cut at the budget boundary.
 
+    Rows with a NULL domain form their own group (null-safe join), so
+    they are sampled under ``default_tokens`` instead of being silently
+    dropped by inner-join null semantics.
+
     Scale: one groupBy(domain) agg (|domains| rows — broadcast back) +
     one map-side filter; no shuffle of the corpus itself."""
     from featureengineer_spark.operators.dedup import _md5_long
 
-    totals = df.groupBy(domain_col).agg(F.sum(token_col).alias("__domain_tokens"))
+    totals = df.groupBy(F.col(domain_col).alias("__mix_domain")).agg(
+        F.sum(token_col).alias("__domain_tokens")
+    )
     target_expr = F.coalesce(
         *(
             [
@@ -285,12 +291,15 @@ def token_budget_mix(
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return (
-        df.join(F.broadcast(totals), on=domain_col)
+        df.join(
+            F.broadcast(totals),
+            on=F.col(domain_col).eqNullSafe(F.col("__mix_domain")),
+        )
         .filter(
             F.pmod(h, F.lit(SAMPLE_DENOM))
             < (frac * SAMPLE_DENOM).cast("long")
         )
-        .drop("__domain_tokens")
+        .drop("__mix_domain", "__domain_tokens")
     )
 
 

@@ -25,11 +25,13 @@ DEFAULT_MAX_BROADCAST_ROWS = 100_000
 
 
 #: session-lifetime memo for the small-side probes below:
-#: (session id, plan semanticHash, cap) → bool. N similarity calls over
-#: the same query table fire ONE limit-bounded count job, not N — the
-#: same discipline as ``skew._HEAVY_PROBE_CACHE``. Keys on the logical
-#: plan, not the data; pass ``broadcast_queries=True/False`` explicitly
-#: for a table whose files mutate mid-session.
+#: (session token, plan semanticHash, cap) → bool. N similarity calls
+#: over the same query table fire ONE limit-bounded count job, not N —
+#: the same discipline as ``skew._HEAVY_PROBE_CACHE``. Keys on the
+#: logical plan via ``session.probe_token`` (stable — never reused
+#: after a session is garbage-collected, unlike ``id()``); pass
+#: ``broadcast_queries=True/False`` explicitly for a table whose files
+#: mutate mid-session.
 _SMALL_PROBE_CACHE: dict[tuple, bool] = {}
 _SMALL_PROBE_CACHE_MAX = 256
 
@@ -38,7 +40,9 @@ def _fits_rows(df: DataFrame, cap: int) -> bool:
     """Memoized limit-bounded row-count probe: True iff ``df`` has at
     most ``cap`` rows. Reads at most ``cap``+1 rows, never a full scan;
     one job per (session, plan, cap) for the session's lifetime."""
-    ck = (id(df.sparkSession), df.semanticHash(), int(cap))
+    from featureengineer_spark.session import probe_token
+
+    ck = (probe_token(df.sparkSession), df.semanticHash(), int(cap))
     if ck in _SMALL_PROBE_CACHE:
         return _SMALL_PROBE_CACHE[ck]
     out = df.limit(cap + 1).count() <= cap
@@ -557,6 +561,40 @@ def ann_topk_lsh(
     )
 
 
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so the
+    sidecar lands next to the parquet data on ANY supported store
+    (s3a://, hdfs://, file:) — a raw Python ``open()`` on the path only
+    works for the local filesystem and would strand a data-only index."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (the
+    read twin of :func:`_hadoop_write_text`)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        # py4j passes primitive arrays by value, so a read-into-buffer
+        # loop can't observe the bytes — drain the stream JVM-side
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -614,8 +652,12 @@ def build_ivf_index(
         "vec_col": vec_col,
         "centroids": [float(v) for v in centroids.ravel()],
     }
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # through the Hadoop FS API, not open(): the index must be buildable
+    # on s3a:// / hdfs:// stores, where the parquet data lands via Hadoop
+    # but a raw local open() would fail or write to the driver's disk
+    _hadoop_write_text(
+        corpus.sparkSession, os.path.join(path, "_ivf_meta.json"), json.dumps(meta)
+    )
     return centroids
 
 
@@ -639,8 +681,7 @@ def search_ivf_index(
     import json
     import os
 
-    with open(os.path.join(path, "_ivf_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = json.loads(_hadoop_read_text(spark, os.path.join(path, "_ivf_meta.json")))
     centroids = np.array(meta["centroids"]).reshape(meta["n_lists"], meta["dim"])
     id_col = meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
@@ -666,25 +707,27 @@ def search_ivf_index(
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    # the probed list set is bounded by n_lists — a tiny driver-side
-    # collect that becomes an IN-list partition filter on the store scan
-    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
-    store = (
-        spark.read.parquet(path)
-        .filter(F.col("list_id").isin(probed))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col),
-            F.col("list_id"),
-            _norm(vec_col).alias("__cn"),
-        )
-        .filter(F.col("__cn") > 0)
-    )
-    # guarded broadcast: a bounded query batch rides a broadcast join; an
-    # all-pairs-shaped call falls back to a shuffle equi join on list_id
-    q = _broadcast_if_small(
-        q, None, DEFAULT_MAX_BROADCAST_ROWS, count_on=queries, fanout=n_probe
-    )
+    # one assignment job, not two: a bounded query batch (the probe-shaped
+    # contract this index exists for) is collected ONCE — that single job
+    # yields both the probed list set (the IN-list partition filter on the
+    # store scan) and the literal query frame the join broadcasts, so
+    # probe_udf never re-executes. An all-pairs-shaped call skips the
+    # pruning collect entirely (its probed set approaches every list, so
+    # pruning wins nothing) and runs the shuffle equi join on list_id.
+    cap = max(DEFAULT_MAX_BROADCAST_ROWS // max(n_probe, 1), 1)
+    if _fits_rows(queries, cap):
+        q_pdf = q.toPandas()
+        probed = sorted(int(v) for v in q_pdf["list_id"].unique())
+        q = F.broadcast(spark.createDataFrame(q_pdf, schema=q.schema))
+        store_scan = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    else:
+        store_scan = spark.read.parquet(path)
+    store = store_scan.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        F.col("list_id"),
+        _norm(vec_col).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
     pairs = store.join(q, on="list_id").filter(
         F.col("neighbor_id") != F.col(query_id_col)
     )

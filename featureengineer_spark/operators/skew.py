@@ -74,8 +74,11 @@ def detect_heavy_keys(
 
 
 #: session-lifetime memo for the auto-routers' heavy-key probe:
-#: (session id, plan semanticHash, key, threshold, sample_denominator) →
-#: bool. N auto ops over the same table fire ONE probe job, not N.
+#: (session token, plan semanticHash, key, threshold,
+#: sample_denominator) → bool. N auto ops over the same table fire ONE
+#: probe job, not N. Session identity comes from
+#: ``session.probe_token`` — stable, never reused after GC (``id()``
+#: can be).
 _HEAVY_PROBE_CACHE: dict[tuple, bool] = {}
 _HEAVY_PROBE_CACHE_MAX = 256
 
@@ -93,8 +96,10 @@ def has_heavy_keys(
     on the same table cost one probe job per session. The memo keys on
     the logical plan, not the data — for a table whose files mutate
     between calls within one session, pass ``use_cache=False``."""
+    from featureengineer_spark.session import probe_token
+
     ck = (
-        id(df.sparkSession),
+        probe_token(df.sparkSession),
         df.semanticHash(),
         key,
         int(threshold),

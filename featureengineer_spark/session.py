@@ -18,6 +18,28 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+_PROBE_TOKEN_ATTR = "_featureengineer_probe_token"
+_probe_token_counter = 0
+
+
+def probe_token(session: SparkSession) -> int:
+    """Stable per-session cache token for the driver-side probe memos
+    (``similarity._SMALL_PROBE_CACHE``, ``skew._HEAVY_PROBE_CACHE``).
+
+    ``id(session)`` is NOT stable: after a session object is
+    garbage-collected CPython can reuse the id for a new session, which
+    would return a stale probe verdict for different data. A monotonic
+    token stored ON the session object dies with it and is never
+    reused; a fresh session (or a fresh Python wrapper of the same JVM
+    session — conservative: one extra probe job) gets a fresh token."""
+    global _probe_token_counter
+    tok = getattr(session, _PROBE_TOKEN_ATTR, None)
+    if tok is None:
+        _probe_token_counter += 1
+        tok = _probe_token_counter
+        setattr(session, _PROBE_TOKEN_ATTR, tok)
+    return tok
+
 
 def _package_zip() -> str:
     """Zip this package so executors can import it — the programmatic

@@ -9,6 +9,7 @@ map to watermarks + checkpointed exactly-once sinks.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -435,8 +436,11 @@ def stream_dedup_neardup(
     3. write survivors partitioned by ``__batch_id`` with dynamic
        overwrite (idempotent replay, like ``stream_asof_attach``);
     4. append ALL of the batch's band rows to the store — only after
-       the survivor write materialized, so a batch never collides with
-       its own bands.
+       the survivor write materialized, and the store read excludes the
+       current ``__batch_id`` partition, so a batch never collides with
+       its own bands even when a crash between the store append and the
+       checkpoint commit leaves its prior attempt's rows visible to the
+       replay.
 
     State bound: the store holds ``bands`` rows per arriving document
     inside the retention horizon. With ``horizon_s`` set, store reads
@@ -473,12 +477,24 @@ def stream_dedup_neardup(
             # first batch: the store doesn't exist yet (and its partition
             # dirs are __batch_id=N — underscore-prefixed, so a file-listing
             # heuristic misreads a populated store as empty; read-and-catch
-            # is the robust emptiness probe)
+            # is the robust emptiness probe). Only the missing-path
+            # analysis error means "no store yet" — any other failure
+            # (corrupt store, transient FS error) must fail the batch so
+            # the checkpoint retries it, instead of silently skipping the
+            # cross-batch check and letting duplicates through for good.
             try:
                 seen = batch_df.sparkSession.read.parquet(store_path)
-            except Exception:
+            except AnalysisException as exc:
+                msg = str(exc)
+                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                    raise
                 seen = None
             if seen is not None:
+                # a replayed batch (crash between the store append and the
+                # checkpoint commit) must never collide with its own prior
+                # attempt's band rows — the store is partitioned by
+                # __batch_id, so this filter is partition-pruned
+                seen = seen.filter(F.col("__batch_id") != F.lit(batch_id))
                 if horizon_s is not None:
                     hi = batch_df.agg(F.max(ts_col)).first()[0]
                     if hi is not None:

@@ -183,6 +183,49 @@ def test_token_budget_mix_hits_targets_and_nests(spark):
     assert {r.doc_id for r in again.select("doc_id").collect()} == ids_small
 
 
+def test_token_budget_mix_null_domain_gets_default(spark):
+    """NULL-domain rows are their own group sampled under
+    default_tokens — not silently dropped by inner-join null semantics:
+    default 0 drops them explicitly, an over-budget default keeps them
+    all, and a partial default samples to roughly that token mass."""
+    from featureengineer_spark.operators.curation import token_budget_mix
+
+    rows = []
+    for i in range(3000):
+        lang = None if i % 3 == 0 else "en"
+        rows.append((i, lang, 100 + (i % 7) * 10))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    null_total = (
+        df.filter(F.col("lang").isNull())
+        .agg(F.sum("n_tokens").alias("t")).first()["t"]
+    )
+    en_total = (
+        df.filter(F.col("lang") == "en").agg(F.sum("n_tokens").alias("t")).first()["t"]
+    )
+
+    # default 0: NULL-domain rows dropped, en intact
+    out0 = token_budget_mix(df, {"en": en_total * 2}, domain_col="lang",
+                            token_col="n_tokens", seed=5)
+    assert out0.filter(F.col("lang").isNull()).count() == 0
+    assert out0.filter(F.col("lang") == "en").count() == 2000
+
+    # over-budget default keeps every NULL-domain row
+    out_all = token_budget_mix(df, {"en": en_total * 2}, domain_col="lang",
+                               token_col="n_tokens", seed=5,
+                               default_tokens=null_total * 2)
+    assert out_all.filter(F.col("lang").isNull()).count() == 1000
+
+    # partial default samples NULL rows to ~half their token mass
+    out_half = token_budget_mix(df, {"en": en_total * 2}, domain_col="lang",
+                                token_col="n_tokens", seed=5,
+                                default_tokens=null_total // 2)
+    kept_null = (
+        out_half.filter(F.col("lang").isNull())
+        .agg(F.sum("n_tokens").alias("t")).first()["t"]
+    )
+    assert abs(kept_null / (null_total / 2) - 1) < 0.15
+
+
 def test_with_chunks_matches_python_oracle(spark):
     from featureengineer_spark.operators.curation import with_chunks
 

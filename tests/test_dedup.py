@@ -580,3 +580,42 @@ def test_ivf_index_persist_search_matches_inmemory(spark, clustered_vecs, tmp_pa
     assert g == e
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+
+def test_search_ivf_index_single_assignment_job(spark, clustered_vecs, tmp_path, monkeypatch):
+    """The query-side probe assignment materializes exactly ONCE at
+    construction (one toPandas that yields both the probed-list partition
+    filter and the broadcast query frame) — no separate
+    distinct().collect() job, no probe-UDF recompute in the join."""
+    import featureengineer_spark.operators.similarity as sim
+    from featureengineer_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_sj")
+    build_ivf_index(clustered_vecs, path, n_lists=8, seed=3)
+    queries = clustered_vecs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sim._SMALL_PROBE_CACHE.clear()
+    cls = type(queries)
+    calls = {"toPandas": 0, "collect": 0}
+    orig_tp, orig_co = cls.toPandas, cls.collect
+
+    def counting_tp(self):
+        calls["toPandas"] += 1
+        return orig_tp(self)
+
+    def counting_co(self):
+        calls["collect"] += 1
+        return orig_co(self)
+
+    monkeypatch.setattr(cls, "toPandas", counting_tp)
+    monkeypatch.setattr(cls, "collect", counting_co)
+    res = search_ivf_index(spark, path, queries, k=5, n_probe=2)
+    assert calls == {"toPandas": 1, "collect": 0}
+    monkeypatch.undo()
+    assert res.count() > 0
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan

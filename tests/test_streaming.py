@@ -630,6 +630,110 @@ def test_stream_dedup_neardup_restart_and_new_data(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "r_store")).count() == 8 * 8
 
 
+def test_stream_dedup_neardup_replay_after_store_append(spark, tmp_path):
+    """Crash-replay safety: if a batch crashes AFTER its band-store append
+    but BEFORE the checkpoint commit, the replay sees its own prior
+    attempt's band rows in the store. The store read must exclude the
+    current __batch_id partition, so the replayed batch keeps exactly the
+    same survivors instead of self-colliding and overwriting its output
+    partition with an emptied kept set."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_dedup_neardup
+
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "cr_in")
+    os.makedirs(src)
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "2024-05-01 09:00:00"),
+        (1, "one two three four five six seven eight nine ten eleven", "2024-05-01 09:01:00"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "2024-05-01 09:02:00"),
+    ]
+    pdf = (
+        spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+        .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    td = str(tmp_path / "cr_chunk")
+    pdf.coalesce(1).write.mode("overwrite").parquet(td)
+    f = [x for x in os.listdir(td) if x.endswith(".parquet")][0]
+    os.rename(os.path.join(td, f), os.path.join(src, "part-000.parquet"))
+
+    args = (spark, src, str(tmp_path / "cr_out"), str(tmp_path / "cr_ckpt"),
+            str(tmp_path / "cr_store"), schema)
+    kw = dict(num_perm=16, bands=8, max_files_per_trigger=1)
+    q = stream_dedup_neardup(*args, **kw)
+    q.awaitTermination(120)
+    kept1 = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "cr_out")).select("doc_id").collect()}
+    assert kept1 == {0, 1}  # doc 2 is an exact near-dup of doc 0
+
+    # simulate the crash window: the store append for batch 0 is durable
+    # but the checkpoint commit is not — delete the commit marker so the
+    # restart replays batch 0 against a store that already holds its bands
+    commit0 = os.path.join(str(tmp_path / "cr_ckpt"), "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    # the local checksum FS keeps a .crc sidecar a real crash would never
+    # have written; leaving it breaks the rename-based atomic commit write
+    crc0 = os.path.join(str(tmp_path / "cr_ckpt"), "commits", ".0.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    q2 = stream_dedup_neardup(*args, **kw)
+    q2.awaitTermination(120)
+    kept2 = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "cr_out")).select("doc_id").collect()}
+    assert kept2 == kept1  # replay is idempotent, no self-collision
+    # store still holds exactly one batch's bands (dynamic overwrite)
+    assert spark.read.parquet(str(tmp_path / "cr_store")).count() == 3 * 8
+
+
+def test_stream_dedup_neardup_corrupt_store_fails_batch(spark, tmp_path):
+    """A store read failure that is NOT missing-path (e.g. a corrupt
+    store directory) must fail the micro-batch so the checkpoint retries
+    it — never be silently treated as an empty store (which would let
+    duplicates through the gate permanently)."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import stream_dedup_neardup
+
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "cs_in")
+    os.makedirs(src)
+    pdf = (
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta", "2024-05-01 09:00:00")],
+            "doc_id long, text string, ts_s string",
+        ).select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    )
+    td = str(tmp_path / "cs_chunk")
+    pdf.coalesce(1).write.mode("overwrite").parquet(td)
+    f = [x for x in os.listdir(td) if x.endswith(".parquet")][0]
+    os.rename(os.path.join(td, f), os.path.join(src, "part-000.parquet"))
+
+    # a store path that EXISTS but cannot be read as parquet
+    store = str(tmp_path / "cs_store")
+    os.makedirs(store)
+    with open(os.path.join(store, "junk.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    q = stream_dedup_neardup(
+        spark, src, str(tmp_path / "cs_out"), str(tmp_path / "cs_ckpt"),
+        store, schema, num_perm=16, bands=8, max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert q.exception() is not None
+
+
 def test_stream_render_sessions_matches_batch_composition(spark, transcripts, tmp_path):
     """Streaming conversation render at session close == the batch
     sessionize+render composition: same session boundaries, same
