@@ -222,10 +222,12 @@ def salted_asof_join(
     matched_ts_col: str = "matched_ts",
     chunk_seconds: float = 86400.0,
     allow_non_causal: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join with a mega-entity path (W2/X5 graft — the reference's
     "very long signals" batching, ``FeaGet.py:211-217``, applied to the
-    flagship join).
+    flagship join; the chunk carry mirrors the start/stop bound
+    discipline of ``IVector.py:796-800``).
 
     Both sides are chunked by TIME RANGE (``chunk_seconds``), so one
     10⁷-turn conversation spreads over #chunks tasks instead of one:
@@ -241,12 +243,23 @@ def salted_asof_join(
     Exact same results as :func:`asof_join`: chunking is by timestamp
     only, so inclusive/strict tie handling (same ts ⇒ same chunk) is
     untouched, and the carry is strictly from earlier chunks.
+
+    ``direction="forward"`` runs the REVERSED-carry decomposition: pass 1
+    traverses each chunk descending (as the plain forward path does), the
+    chunk summary keeps the EARLIEST ``(ts, tie)`` feature row per chunk
+    (``min_by``), and the carry scan walks chunks in DESCENDING order so
+    each chunk inherits the earliest row of the nearest LATER chunk that
+    has features. A later chunk's timestamps are strictly greater than
+    every timestamp in this chunk, so inclusive/strict anchor ties stay
+    confined to pass 1 — exact equivalence to the plain forward window.
     """
     from featureengineer_spark.validation import assert_causal
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (entity_col, ts_col)]
-    if not allow_non_causal:
+    if direction == "backward" and not allow_non_causal:
         assert_causal(features, value_cols, context="salted_asof_join")
     passthrough = [c for c in anchors.columns if c not in (entity_col, anchor_ts_col)]
     chunk_us = int(chunk_seconds * 1_000_000)
@@ -288,9 +301,16 @@ def salted_asof_join(
     )
 
     unioned = feat.unionByName(anch)
+    # same per-chunk traversal discipline as the plain window (see
+    # asof_join): ascend for backward, descend for forward; the tag key
+    # stays ascending in both so inclusive/strict equal-ts ties hold
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col(_TAG).asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(entity_col, "__chunk")
-        .orderBy(F.col("__t").asc(), F.col(_TAG).asc(), F.col("__tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -302,14 +322,23 @@ def salted_asof_join(
         *[F.col(f"__a_{c}") for c in passthrough],
     )
 
-    # carry-in: latest feature row of each (entity, chunk) — hash agg,
-    # then the exclusive per-entity scan over the ≤#chunks summary rows
+    # carry-in: the boundary feature row of each (entity, chunk) — hash
+    # agg, then the exclusive per-entity scan over the ≤#chunks summary
+    # rows. backward: latest row, chunks ascending (carry from earlier
+    # chunks); forward: earliest row, chunks DESCENDING (carry from the
+    # nearest later chunk with features).
+    if direction == "backward":
+        boundary = F.max_by("__row", F.struct("__t", "__tie"))
+        scan_order = F.col("__chunk").asc()
+    else:
+        boundary = F.min_by("__row", F.struct("__t", "__tie"))
+        scan_order = F.col("__chunk").desc()
     chunk_last = feat.groupBy(entity_col, "__chunk").agg(
-        F.max_by("__row", F.struct("__t", "__tie")).alias("__last_row")
+        boundary.alias("__last_row")
     )
     w_scan = (
         Window.partitionBy(entity_col)
-        .orderBy("__chunk")
+        .orderBy(scan_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # anchors in chunks with no features at all still need a carry: scan
@@ -350,22 +379,19 @@ def asof_join_auto(
     """Skew-aware as-of join: a cheap count-agg probe on the feature side
     picks the salted time-chunked path when any entity exceeds
     ``heavy_threshold`` rows (same contract as ``rolling_counts_auto``).
-
-    ``direction="forward"`` always takes the plain window path — the
-    salted decomposition carries per-chunk summaries forward in time and
-    has no reversed-carry variant yet; a mega-entity forward join runs
-    correct but unsalted (one window partition per entity)."""
+    Both directions route: backward takes the forward-carry
+    decomposition, ``direction="forward"`` the reversed-carry one —
+    a mega-entity next-event join spreads over #chunks tasks too."""
     from featureengineer_spark.operators.skew import has_heavy_keys
 
-    if kw.get("direction", "backward") == "backward":
-        has_heavy = has_heavy_keys(
-            features, key=entity_col, threshold=heavy_threshold
+    has_heavy = has_heavy_keys(
+        features, key=entity_col, threshold=heavy_threshold
+    )
+    if has_heavy:
+        return salted_asof_join(
+            features, anchors, entity_col=entity_col,
+            chunk_seconds=chunk_seconds, **kw
         )
-        if has_heavy:
-            return salted_asof_join(
-                features, anchors, entity_col=entity_col,
-                chunk_seconds=chunk_seconds, **kw
-            )
     return asof_join(features, anchors, entity_col=entity_col, **kw)
 
 

@@ -101,6 +101,16 @@ def child(idx: int) -> None:
         "salted_sec": timed(
             lambda: salted_asof_join(t, anchors, value_cols=["turn_idx", "role"])
         ),
+        "plain_fwd_sec": timed(
+            lambda: asof_join(
+                t, anchors, value_cols=["turn_idx", "role"], direction="forward"
+            )
+        ),
+        "salted_fwd_sec": timed(
+            lambda: salted_asof_join(
+                t, anchors, value_cols=["turn_idx", "role"], direction="forward"
+            )
+        ),
     }
     print("CHILD_JSON:" + json.dumps(res))
     spark.stop()

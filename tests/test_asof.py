@@ -194,16 +194,40 @@ def test_asof_forward_skips_causal_guard_and_rejects_bad_direction(spark, transc
     ).limit(1).collect()
 
 
-def test_asof_auto_forward_routes_plain(transcripts, anchors, transcripts_pdf, anchors_pdf):
-    """The auto router must route direction='forward' to the plain window
-    path even when the heavy probe would pick the salted path (which has
-    no reversed-carry variant), and the result must match the naive
-    forward spec."""
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_salted_asof_forward_equals_plain(inclusive, transcripts, anchors):
+    """The reversed-carry (time-chunked) forward as-of join must be
+    exactly equivalent to the plain descending window, including anchors
+    whose next event lies chunks later and anchors with no later feature
+    at all — both inclusivity modes, on the skew fixture whose mega conv
+    forces many cross-chunk carries at 60s chunks."""
+    from featureengineer_spark.operators.asof import salted_asof_join
+
+    plain = _norm(
+        asof_join(
+            transcripts, anchors, value_cols=VALUE_COLS,
+            direction="forward", inclusive=inclusive,
+        ).toPandas()
+    )
+    salted = _norm(
+        salted_asof_join(
+            transcripts, anchors, value_cols=VALUE_COLS,
+            direction="forward", inclusive=inclusive, chunk_seconds=60.0,
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_asof_auto_forward_routes_salted(transcripts, anchors, transcripts_pdf, anchors_pdf):
+    """The auto router now routes direction='forward' to the
+    reversed-carry salted path when the heavy probe fires, and the result
+    must still match the naive forward spec exactly."""
     from featureengineer_spark.operators import asof_join_auto
 
     got = _norm(
         asof_join_auto(
             transcripts, anchors, heavy_threshold=1,  # everything "heavy"
+            chunk_seconds=60.0,
             value_cols=VALUE_COLS, direction="forward",
         ).toPandas()
     )
