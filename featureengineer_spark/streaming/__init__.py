@@ -1,4 +1,5 @@
 from featureengineer_spark.streaming.sessions import (  # noqa: F401
+    compact_band_store,
     stream_asof_attach,
     stream_dedup_exact,
     stream_dedup_neardup,

@@ -448,7 +448,8 @@ def stream_dedup_neardup(
     batch's max ts — the same trade-off as ``stream_dedup_exact``: a
     near-dup arriving later than the horizon after its original is NOT
     caught (route those to the batch pass), and expired store partitions
-    can be physically deleted by compaction. The store join is an equi
+    can be physically deleted by :func:`compact_band_store` (parity- and
+    bound-tested). The store join is an equi
     join on (band_idx, band_hash) — bucket-bounded, never |batch|×|store|
     row products."""
     from pyspark.sql.window import Window
@@ -547,3 +548,81 @@ def stream_dedup_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_band_store(
+    spark: SparkSession,
+    store_path: str,
+    horizon_s: float,
+    reference_ts=None,
+    rewrite: bool = False,
+) -> dict:
+    """Horizon-driven compaction for the :func:`stream_dedup_neardup` /
+    batch-ingest band store: physically delete ``__batch_id`` partitions
+    whose band rows have ALL expired out of the gate's retention horizon,
+    optionally rewriting the surviving partitions to drop their expired
+    rows too (``rewrite=True`` — reclaims space inside mixed partitions
+    at the cost of rewriting them).
+
+    The cutoff is ``reference_ts − horizon_s``; ``reference_ts`` defaults
+    to the store's max ``__ts``. Gating semantics INSIDE the horizon are
+    unchanged by construction: the gate's store read already filters to
+    ``__ts`` within ``horizon_s`` of the batch's max event time, so a
+    row older than the cutoff can never influence a future batch — as
+    long as event time does not regress across batches by more than the
+    horizon (the same assumption the gate itself makes; pass an explicit
+    ``reference_ts`` low-watermark when arrival order is looser).
+
+    Scale: one aggregate over the store's (partition, ts) pairs — at
+    ``bands`` rows per doc in the horizon this is the gate's own state
+    bound — then O(#expired) filesystem deletes through the Hadoop FS
+    API (works on s3a/hdfs/file stores). Returns a stats dict:
+    ``deleted_batches``, ``rewritten_batches``, ``rows_before``,
+    ``rows_after``."""
+    store = spark.read.parquet(store_path)
+    per_batch = store.groupBy("__batch_id").agg(
+        F.max("__ts").alias("__max_ts"),
+        F.min("__ts").alias("__min_ts"),
+        F.count(F.lit(1)).alias("__n"),
+    ).collect()
+    rows_before = sum(r["__n"] for r in per_batch)
+    if reference_ts is None:
+        reference_ts = max((r["__max_ts"] for r in per_batch), default=None)
+    if reference_ts is None:
+        return {"deleted_batches": [], "rewritten_batches": [],
+                "rows_before": 0, "rows_after": 0}
+    import datetime
+
+    cutoff = reference_ts - datetime.timedelta(seconds=horizon_s)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    deleted, to_rewrite = [], []
+    for r in per_batch:
+        if r["__max_ts"] < cutoff:
+            deleted.append(r["__batch_id"])
+        elif rewrite and r["__min_ts"] < cutoff:
+            to_rewrite.append(r["__batch_id"])
+    for bid in deleted:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/__batch_id={bid}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    if to_rewrite:
+        # dynamic overwrite replaces exactly the rewritten partitions
+        (
+            store.filter(
+                F.col("__batch_id").isin(to_rewrite)
+                & (F.col("__ts") >= F.lit(cutoff))
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(store_path)
+        )
+    rows_after = spark.read.parquet(store_path).count() if (deleted or to_rewrite) else rows_before
+    return {
+        "deleted_batches": sorted(deleted),
+        "rewritten_batches": sorted(to_rewrite),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

@@ -734,6 +734,85 @@ def test_stream_dedup_neardup_corrupt_store_fails_batch(spark, tmp_path):
     assert q.exception() is not None
 
 
+def test_compact_band_store_preserves_in_horizon_gating(spark, tmp_path):
+    """Horizon-driven band-store compaction (partition delete + optional
+    rewrite of mixed partitions) must leave gating behavior INSIDE the
+    horizon unchanged: a twin run without compaction keeps exactly the
+    same documents, and the store shrinks to the in-horizon bound."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from featureengineer_spark.streaming.sessions import (
+        compact_band_store,
+        stream_dedup_neardup,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    B = "one two three four five six seven eight nine ten eleven twelve"
+    C = "volcanic rock formations develop slowly under sustained pressure below"
+    D = "maritime navigation charts require frequent updates for shifting sandbars"
+    batches = [
+        [(0, A, "2024-06-01 09:00:00"), (1, B, "2024-06-01 09:01:00")],
+        # mixed-age partition: doc 11 sits below the eventual cutoff
+        [(10, C, "2024-06-01 11:00:00"),
+         (11, A.replace("alpha", "omega", 1), "2024-06-01 09:30:00")],
+        [(20, C.replace("slowly", "fast", 1), "2024-06-01 11:30:00"),
+         (21, B.replace("one", "zero", 1), "2024-06-01 11:31:00"),
+         (22, D, "2024-06-01 11:32:00")],
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+
+    def run(tag, compact_after_batch1):
+        src = str(tmp_path / f"{tag}_in")
+        os.makedirs(src)
+        stats = None
+        for part, rows in enumerate(batches):
+            pdf = (
+                spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+                .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+            )
+            td = str(tmp_path / f"{tag}_chunk{part}")
+            pdf.coalesce(1).write.mode("overwrite").parquet(td)
+            f = [x for x in os.listdir(td) if x.endswith(".parquet")][0]
+            dst = os.path.join(src, f"part-{part:03d}.parquet")
+            os.rename(os.path.join(td, f), dst)
+            os.utime(dst, (time.time() + part, time.time() + part))
+            q = stream_dedup_neardup(
+                spark, src, str(tmp_path / f"{tag}_out"),
+                str(tmp_path / f"{tag}_ckpt"), str(tmp_path / f"{tag}_store"),
+                schema, num_perm=16, bands=8, max_files_per_trigger=1,
+                horizon_s=3600.0,
+            )
+            q.awaitTermination(120)
+            if part == 1 and compact_after_batch1:
+                stats = compact_band_store(
+                    spark, str(tmp_path / f"{tag}_store"), horizon_s=3600.0,
+                    rewrite=True,
+                )
+        kept = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / f"{tag}_out"))
+                .select("doc_id").collect()}
+        return kept, stats
+
+    kept_plain, _ = run("nc", compact_after_batch1=False)
+    kept_compacted, stats = run("cc", compact_after_batch1=True)
+    # 11 passes (A expired out of horizon at 11:00), 20 suppressed (C in
+    # horizon), 21 passes (B expired), 22 fresh
+    assert kept_plain == {0, 1, 10, 11, 21, 22}
+    assert kept_compacted == kept_plain
+    # batch-0 partition fully expired → deleted; batch-1 partition is
+    # mixed-age → rewritten without its expired rows
+    assert stats["deleted_batches"] == [0]
+    assert stats["rewritten_batches"] == [1]
+    assert stats["rows_before"] == 4 * 8
+    assert stats["rows_after"] == 1 * 8
+    store_rows = spark.read.parquet(str(tmp_path / "cc_store")).count()
+    # post-batch-2 store: the 8 surviving batch-1 rows + batch-2's 3 docs
+    assert store_rows == (1 + 3) * 8
+
+
 def test_stream_render_sessions_matches_batch_composition(spark, transcripts, tmp_path):
     """Streaming conversation render at session close == the batch
     sessionize+render composition: same session boundaries, same
