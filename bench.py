@@ -67,6 +67,20 @@ def _best_of(df, reps: int = 2) -> float:
     return best
 
 
+def _best_of_thunk(fn, reps: int = 2) -> float:
+    """_best_of for operators whose CONSTRUCTION does eager work (e.g.
+    search_ivf_index's one-job probe assignment): each timed rep rebuilds
+    the plan so the honest per-call cost is measured, not just the final
+    execute."""
+    _noop(fn())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _noop(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 BENCH_BUCKETS = 64
 
 
@@ -262,7 +276,80 @@ def main() -> None:
     )
     ann_s = _best_of(ann)
     timings["ann_ivf"] = round(ann_s, 4)
+
+    # persisted-index search (round-6 addition, additive like round 4's):
+    # the repeated-search path — index built ONCE on disk (outside the
+    # timed region, like any production index build), each timed rep
+    # pays the honest per-call cost: the single probe-assignment job plus
+    # the partition-pruned store scan + in-list GEMM re-rank.
+    from featureengineer_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    idx_path = f"/tmp/fe_bench_ivf_idx_v1_{ANN_CORPUS}x{ANN_DIM}"
+    if not os.path.exists(idx_path + "/_SUCCESS"):
+        build_ivf_index(corpus, idx_path, n_lists=64, centroids=cents)
+    idx_s = _best_of_thunk(
+        lambda: search_ivf_index(spark, idx_path, qs, k=10, n_probe=3)
+    )
+    timings["ivf_index_search"] = round(idx_s, 4)
     corpus.unpersist()
+
+    # streaming near-dup gate (round-6 addition): per-batch wall of the
+    # MinHash-band ingest gate on a fixed 4-file fixture (5k docs/file,
+    # variant-expanded from the sf documents table). Each timed drain
+    # runs 4 micro-batches against fresh checkpoint/output/store dirs;
+    # reported value is wall per micro-batch.
+    import shutil
+    import tempfile
+
+    from featureengineer_spark.streaming.sessions import stream_dedup_neardup
+
+    fix_dir = f"/tmp/fe_bench_neardup_fixture_v1_{sf_dir.replace('/', '_')}"
+    n_stream_files = 4
+    if not os.path.exists(fix_dir + "/.done"):
+        shutil.rmtree(fix_dir, ignore_errors=True)
+        os.makedirs(fix_dir)
+        for v in range(n_stream_files):
+            (
+                docs.select(
+                    (F.col("doc_id") * n_stream_files + v).alias("doc_id"),
+                    F.when(F.lit(v) == 0, F.col("text"))
+                    .otherwise(F.concat_ws(" ", "text", F.lit(f"v{v}")))
+                    .alias("text"),
+                    (
+                        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                        + F.make_interval(mins=F.lit(v), secs=F.col("doc_id") % 60)
+                    ).alias("ts"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{fix_dir}/b{v}")
+            )
+            part = [f for f in os.listdir(f"{fix_dir}/b{v}") if f.endswith(".parquet")][0]
+            os.rename(f"{fix_dir}/b{v}/{part}", f"{fix_dir}/part-{v:03d}.parquet")
+            shutil.rmtree(f"{fix_dir}/b{v}")
+            os.utime(f"{fix_dir}/part-{v:03d}.parquet", (1700000000 + v, 1700000000 + v))
+        open(fix_dir + "/.done", "w").close()
+
+    def drain_neardup() -> float:
+        work = tempfile.mkdtemp(prefix="fe_bench_neardup_run_")
+        try:
+            t0 = time.perf_counter()
+            q = stream_dedup_neardup(
+                spark, fix_dir, f"{work}/out", f"{work}/ckpt", f"{work}/store",
+                "doc_id long, text string, ts timestamp",
+                num_perm=64, bands=16, max_files_per_trigger=1,
+            )
+            q.awaitTermination(600)
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    drain_neardup()  # warm
+    stream_s = min(drain_neardup(), drain_neardup()) / n_stream_files
+    timings["stream_neardup_batch"] = round(stream_s, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -280,6 +367,8 @@ def main() -> None:
                 "entities_per_sec_latent_extraction": round(N_ENT / lat_s, 1),
                 "docs_per_sec_dedup_minhash": round(n_docs / dedup_s, 1),
                 "ann_queries_per_sec_ivf": round(ANN_QUERIES / ann_s, 1),
+                "ann_queries_per_sec_ivf_index": round(ANN_QUERIES / idx_s, 1),
+                "stream_docs_per_sec_neardup": round(n_docs / n_stream_files / stream_s, 1),
             }
         )
     )

@@ -370,20 +370,24 @@ def _ann_ivf_gemm(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    q_pdf=None,
 ) -> DataFrame:
     """Broadcast-query IVF search kernel (see ``ann_topk_ivf``): one
     corpus scan, numpy GEMM per (batch, inverted list), exact partial
     top-k per query inside each batch, global top-k window at the end.
     Semantics identical to the join path: stable lowest-list assignment,
     zero-norm rows excluded on both sides, self-matches excluded,
-    (cosine desc, neighbor_id asc) ranking."""
+    (cosine desc, neighbor_id asc) ranking. ``q_pdf`` lets a caller that
+    already collected the (query_id, vec) frame (``search_ivf_index``)
+    skip the second collect job."""
     import pyarrow as pa
 
     from pyspark.sql import types as T
 
     sc = corpus.sparkSession.sparkContext
 
-    q_pdf = queries.select(query_id_col, vec_col).toPandas()
+    if q_pdf is None:
+        q_pdf = queries.select(query_id_col, vec_col).toPandas()
     qx = (
         np.vstack(q_pdf[vec_col].to_numpy())
         if len(q_pdf)
@@ -641,6 +645,13 @@ def build_ivf_index(
     (
         corpus.select(F.col(id_col), F.col(vec_col))
         .withColumn("list_id", assign_udf(F.col(vec_col)))
+        # cluster by list before the partitioned write: without this,
+        # every input partition writes a sliver into every list dir
+        # (|input partitions| × n_lists tiny files — measured 4× slower
+        # to scan at 100k×64 lists than the clustered layout). One task
+        # per list → O(1) files per partition; oversized lists still
+        # split on read via maxPartitionBytes.
+        .repartition(int(centroids.shape[0]), "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -675,9 +686,14 @@ def search_ivf_index(
     queries' lists| values, bounded by ``n_lists``) prunes the scan to
     those PARTITIONS — the plan shows ``PartitionFilters`` on
     ``list_id``, so storage I/O is ``n_probe/n_lists`` of the corpus —
-    then the candidate equi join on ``list_id`` and the exact cosine
-    re-rank run identically to :func:`ann_topk_ivf` (same stable
-    assignment, same (cosine desc, id asc) ties)."""
+    then the search runs identically to :func:`ann_topk_ivf` (same
+    stable assignment, same (cosine desc, id asc) ties): a bounded query
+    batch rides the broadcast-GEMM kernel over the pruned scan — the
+    probe assignment is computed ONCE, driver-side, from the same single
+    collect that feeds the kernel (no Spark UDF, no second job) — while
+    an all-pairs-shaped call falls back to the shuffle equi join on
+    ``list_id`` (no pruning collect: its probed set approaches every
+    list, so pruning wins nothing)."""
     import json
     import os
 
@@ -686,10 +702,38 @@ def search_ivf_index(
     id_col = meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
 
+    # broadcast-GEMM path: one collect of the query batch yields the probe
+    # assignment (driver-side numpy — same stable lowest-list argsort the
+    # executor kernels use), the probed-list partition filter, AND the
+    # query matrix the GEMM kernel broadcasts. One job total; the pruned
+    # scan then pays n_probe/n_lists of the corpus I/O and the in-list
+    # BLAS re-rank matches ann_topk_ivf exactly.
+    cap = max(DEFAULT_MAX_BROADCAST_ROWS // max(n_probe, 1), 1)
+    if _fits_rows(queries, cap):
+        q_pdf = queries.select(query_id_col, vec_col).toPandas()
+        if len(q_pdf):
+            qx = np.vstack(q_pdf[vec_col].to_numpy())
+            d2 = (centroids * centroids).sum(axis=1) - 2.0 * (qx @ centroids.T)
+            probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            probed = sorted(int(v) for v in np.unique(probe))
+        else:
+            probed = []
+        pruned = (
+            spark.read.parquet(path)
+            .filter(F.col("list_id").isin(probed))
+            .select(F.col(id_col), F.col(vec_col))
+        )
+        return _ann_ivf_gemm(
+            pruned, queries, centroids, k, n_probe,
+            id_col, vec_col, query_id_col, q_pdf=q_pdf,
+        )
+
+    # all-pairs-shaped call: shuffle equi join on list_id, no pruning
+    # collect (the probed set approaches every list)
     sc = spark.sparkContext
     b_c = sc.broadcast(centroids)
 
-    def probe(v):
+    def probe_fn(v):
         import pandas as pd
 
         c = b_c.value
@@ -700,29 +744,14 @@ def search_ivf_index(
 
     from pyspark.sql import types as T
 
-    probe_udf = F.pandas_udf(probe, T.ArrayType(T.IntegerType()))
+    probe_udf = F.pandas_udf(probe_fn, T.ArrayType(T.IntegerType()))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qv"),
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    # one assignment job, not two: a bounded query batch (the probe-shaped
-    # contract this index exists for) is collected ONCE — that single job
-    # yields both the probed list set (the IN-list partition filter on the
-    # store scan) and the literal query frame the join broadcasts, so
-    # probe_udf never re-executes. An all-pairs-shaped call skips the
-    # pruning collect entirely (its probed set approaches every list, so
-    # pruning wins nothing) and runs the shuffle equi join on list_id.
-    cap = max(DEFAULT_MAX_BROADCAST_ROWS // max(n_probe, 1), 1)
-    if _fits_rows(queries, cap):
-        q_pdf = q.toPandas()
-        probed = sorted(int(v) for v in q_pdf["list_id"].unique())
-        q = F.broadcast(spark.createDataFrame(q_pdf, schema=q.schema))
-        store_scan = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
-    else:
-        store_scan = spark.read.parquet(path)
-    store = store_scan.select(
+    store = spark.read.parquet(path).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col),
         F.col("list_id"),
