@@ -1681,6 +1681,214 @@ def q_ann_lsh(spark, sf):
     )
 
 
+# ------------------------------------------------------------- web URLs —
+# URL canonicalization / URL-keyed dedup / domain blocklist
+# (operators/weburl.py). The documents table has no URL column, so each
+# query synthesizes one deterministically from doc_id: docs 4k..4k+3 get
+# four surface variants (clean, uppercase+:443+trailing-slash, tracking
+# params, fragment) of the same logical page, hosted on example{k%7}.com.
+# The oracle rebuilds the EXPECTED canonical form from the same doc_id
+# arithmetic — string construction, not string parsing — so it is an
+# independent check of the parser.
+
+_URL_ORACLE_CTE = r"""
+            WITH u AS (
+              SELECT doc_id, doc_id // 4 AS k,
+                     (doc_id // 4) % 7 AS h, doc_id % 4 AS v
+              FROM documents
+            ), uu AS (
+              SELECT doc_id, k, h,
+                     CASE v
+                       WHEN 0 THEN 'https://www.example' || CAST(h AS VARCHAR) || '.com/p/' || CAST(k AS VARCHAR) || '?id=1&b=2'
+                       WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || CAST(h AS VARCHAR) || '.COM:443/p/' || CAST(k AS VARCHAR) || '/?id=1&b=2'
+                       WHEN 2 THEN 'https://www.example' || CAST(h AS VARCHAR) || '.com/p/' || CAST(k AS VARCHAR) || '?b=2&id=1&utm_source=feed&ref=x'
+                       ELSE 'https://www.example' || CAST(h AS VARCHAR) || '.com/p/' || CAST(k AS VARCHAR) || '?id=1&b=2#s'
+                     END AS url
+              FROM u
+            )
+"""
+
+
+def _doc_urls(spark, sf):
+    """documents → (doc_id, url) with the deterministic synthetic URLs
+    described above (pure map; stays in the scan's codegen stage)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.expr("doc_id div 4")
+    h = (k % 7).cast("string")
+    ks = k.cast("string")
+    v = F.col("doc_id") % 4
+    base = F.concat(F.lit("https://www.example"), h, F.lit(".com/p/"), ks)
+    url = (
+        F.when(v == 0, F.concat(base, F.lit("?id=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE"), h, F.lit(".COM:443/p/"), ks,
+                F.lit("/?id=1&b=2"),
+            ),
+        )
+        .when(v == 2, F.concat(base, F.lit("?b=2&id=1&utm_source=feed&ref=x")))
+        .otherwise(F.concat(base, F.lit("?id=1&b=2#s")))
+    )
+    return d.withColumn("url", url)
+
+
+def q_url_canonical(spark, sf):
+    """Canonicalize every synthetic URL (lowercase scheme/host, default
+    port + fragment + trailing slash stripped, tracking params removed,
+    params sorted) and extract the registrable domain. All four surface
+    variants of page k must collapse to one canonical string."""
+    from featureengineer_spark.operators.weburl import with_canonical_url
+
+    return with_canonical_url(_doc_urls(spark, sf)).select(
+        "doc_id", "url", "canonical_url", "domain"
+    )
+
+
+def q_url_dedup_docs(spark, sf):
+    """URL-level dedup (the first pass of every web-crawl pipeline):
+    keep exactly one doc per canonical URL, earliest doc_id wins."""
+    from featureengineer_spark.operators.weburl import url_dedup
+
+    return url_dedup(_doc_urls(spark, sf), url_col="url", id_col="doc_id").select(
+        "doc_id", "url"
+    )
+
+
+def q_url_blocklist(spark, sf):
+    """Domain-blocklist filter via broadcast anti-join: drop documents
+    hosted on example2.com / example5.com."""
+    from featureengineer_spark.operators.weburl import filter_blocked_domains
+
+    out = filter_blocked_domains(
+        _doc_urls(spark, sf), ["example2.com", "example5.com"], url_col="url"
+    )
+    return out.select("doc_id")
+
+
+# -------------------------------------------------- round-6 curation ops —
+# Gopher quality rules, paragraph-level dedup, winnowing fingerprints,
+# DSIR importance weighting, SemDeDup — each a published curation pass
+# (operators/{quality,paragraphs,winnow,dsir,semdedup}.py) with a full
+# value-level DuckDB replay.
+
+
+def q_gopher_flags(spark, sf):
+    """Gopher rule filters (Rae et al. 2021, App. A): one boolean per
+    rule + the aggregate gate, all in one codegen'd Project over the
+    scan. min_words=50 splits this corpus near its median word count, so
+    the gate is non-trivial."""
+    from featureengineer_spark.operators.quality import with_gopher_flags
+
+    return with_gopher_flags(_t(spark, sf, "documents")).select(
+        "doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stopwords", "gopher_pass",
+    )
+
+
+def q_paragraph_dedup(spark, sf):
+    """Sub-document (paragraph-level) dedup, CCNet/RefinedWeb style:
+    16-word blocks over normalized text, keep only the FIRST global
+    occurrence of every block, rebuild each doc from its survivors.
+    69 duplicated blocks exist at sf0.01, so survivors differ from the
+    input. Returns the rebuilt text's md5 so the whole reassembly is
+    value-checked without hashing megabytes of text per row twice."""
+    from featureengineer_spark.operators.paragraphs import (
+        drop_duplicate_paragraphs,
+    )
+
+    out = drop_duplicate_paragraphs(
+        _t(spark, sf, "documents"), mode="blocks", block_words=16
+    )
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("dedup_md5"), "n_paras", "n_kept"
+    )
+
+
+def q_paragraph_boilerplate(spark, sf):
+    """Boilerplate census: 8-word blocks occurring more than once
+    corpus-wide — (block hash, occurrences, distinct docs, first doc)."""
+    from featureengineer_spark.operators.paragraphs import (
+        duplicated_paragraph_groups,
+        split_paragraphs,
+    )
+
+    paras = split_paragraphs(
+        _t(spark, sf, "documents"), mode="blocks", block_words=8
+    )
+    return duplicated_paragraph_groups(paras).select(
+        "para_md5", "n_occurrences", "n_docs", "first_doc_id"
+    )
+
+
+def q_winnow_prints(spark, sf):
+    """Winnowing (MOSS) fingerprints, k=4-word grams, window w=5: the
+    selected (hash, position) set per document — one sliding-window min
+    per doc, ~2/(w+1) of the gram hashes kept."""
+    from featureengineer_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=5)
+
+
+def q_winnow_pairs(spark, sf):
+    """Contiguous-overlap document pairs: ≥2 shared winnowing
+    fingerprints (inverted-index equi-join with a max_df hot-hash cap —
+    never a cross join)."""
+    from featureengineer_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf, "documents"), k=4, w=5, min_shared=2, max_df=64
+    )
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR (Xie et al. 2023) log importance weights for every document
+    against a src0 target corpus: hashed unigram+bigram multinomials
+    (1024 md5 buckets, Laplace α=1), ratio table broadcast, per-doc
+    feature-sum. Zero-feature docs carry the (0, 0.0) sentinel."""
+    from featureengineer_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    out = dsir_weights(docs, target)
+    return out.select(
+        "doc_id", "n_feats", _r(F.col("dsir_logweight")).alias("dsir_logweight")
+    )
+
+
+def q_dsir_topk(spark, sf):
+    """Deterministic DSIR selection: the 100 documents most like the
+    src0 target corpus (argmax-k of the importance weight, ties to the
+    lowest doc_id; empty docs never selected)."""
+    from featureengineer_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    out = dsir_select(docs, docs.filter(F.col("source") == "src0"), k=100)
+    return out.select(
+        "doc_id", "n_feats", _r(F.col("dsir_logweight")).alias("dsir_logweight")
+    )
+
+
+def q_semdedup_verdicts(spark, sf):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: assign to
+    the 8 fixed seed-derived centroids (same literal-quantizer rule as
+    ann_ivf_fixed), then within each cluster drop any vector ≥ τ=0.4
+    cosine-similar to an earlier id (max pair cosine in this corpus is
+    0.51, so the gate is non-trivial). Pairwise work never leaves a
+    cluster."""
+    from featureengineer_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semdedup(emb, _fixed_ivf_centroids(8, 64), tau=0.4)
+    return out.select(
+        "vec_id", "cluster_id",
+        _r(F.col("max_cos_earlier")).alias("max_cos_earlier"), "kept",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time window stack over sf0.001 events."""
     sf = "/root/testdata/sf0.001"
@@ -1801,6 +2009,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join": q_right_join,
         "unpivot_stack": q_unpivot_stack,
         "global_stats": q_global_stats,
+        # round-6 additions (tail; certify in a later rotation)
+        "url_canonical": q_url_canonical,
+        "url_dedup_docs": q_url_dedup_docs,
+        "url_blocklist": q_url_blocklist,
+        "gopher_flags": q_gopher_flags,
+        "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_boilerplate": q_paragraph_boilerplate,
+        "winnow_prints": q_winnow_prints,
+        "winnow_pairs": q_winnow_pairs,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "semdedup_verdicts": q_semdedup_verdicts,
     }
 
 
@@ -2317,6 +2537,51 @@ def _ann_ivf_oracle_sql(
         """
 
 
+def _semdedup_oracle_sql(n_lists: int = 8, d: int = 64, tau: float = 0.4) -> str:
+    """DuckDB replica of SemDeDup over the fixed seed-derived centroids:
+    the same literal-quantizer assignment CTE as `_ann_ivf_oracle_sql`
+    (argmin of ‖c‖² − 2·x·cᵀ, ties to the lowest list), then the
+    within-cluster earlier-id max-cosine and the τ verdict."""
+    cents = _fixed_ivf_centroids(n_lists, d)
+    cn2 = (cents * cents).sum(axis=1)
+    return f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), consts AS (
+              SELECT {_sql_list(cents.ravel())}::DOUBLE[] AS cm,
+                     {_sql_list(cn2)}::DOUBLE[] AS cn2
+            ), dims AS (SELECT unnest(range(1, {d + 1})) AS j),
+            lists AS (SELECT unnest(range(0, {n_lists})) AS c),
+            d2 AS (
+              SELECT emb.vec_id, lists.c,
+                     cn2[lists.c + 1]
+                       - 2.0 * (SELECT sum(v[dims.j] * cm[lists.c * {d} + dims.j])
+                                FROM dims) AS dist
+              FROM emb CROSS JOIN lists CROSS JOIN consts
+            ), assign AS (
+              SELECT vec_id, c AS cluster_id FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, c ASC) AS r
+                FROM d2
+              ) WHERE r = 1
+            ), nz AS (
+              SELECT a.vec_id, a.cluster_id, e.v
+              FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+              WHERE sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) > 0
+            ), earlier AS (
+              SELECT b.vec_id, max(list_cosine_similarity(a.v, b.v)) AS mc
+              FROM nz b JOIN nz a
+                ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+              GROUP BY b.vec_id
+            )
+            SELECT s.vec_id, s.cluster_id,
+                   round(earlier.mc, 6) AS max_cos_earlier,
+                   coalesce(earlier.mc < {tau}, true) AS kept
+            FROM assign s LEFT JOIN earlier ON earlier.vec_id = s.vec_id
+        """
+
+
 def _ann_ivf_trained_oracle_sql() -> str:
     """Trained-quantizer IVF oracle: literal centroids captured from the
     bit-deterministic Lloyd run (scripts/capture_trained_models.py)."""
@@ -2470,6 +2735,86 @@ def _media_real_oracle_sql(k: int = 14) -> str:
                    CASE WHEN modality = 'audio' THEN 1.0 ELSE 0.0 END AS mod_code
             FROM vals
         """
+
+
+# Winnowing fingerprint selection (operators/winnow.py), shared by the
+# winnow_prints / winnow_pairs oracles: normalized words → 4-grams →
+# per-position keys (60-bit md5 prefix % 2⁴⁰)·2²² + pos → sliding
+# 5-window min → full windows only → distinct. The range cross-join is
+# bounded at 512 gram positions (>5× this corpus's max word count).
+_WINNOW_SEL_CTE = r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, greatest(len(ws) - 3, 1) AS ng, i AS pos,
+                     array_to_string(ws[i+1:i+4], ' ') AS gram
+              FROM w, (SELECT unnest(range(0, 512)) AS i)
+              WHERE i < greatest(len(ws) - 3, 1)
+            ), k AS (
+              SELECT doc_id, ng, pos,
+                     (('0x' || substr(md5(gram), 1, 15))::BIGINT % 1099511627776) * 4194304 + pos AS key
+              FROM g
+            ), wm AS (
+              SELECT doc_id, ng, pos,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+              FROM k
+            ), sel AS (
+              SELECT DISTINCT doc_id, wmin FROM wm
+              WHERE pos <= greatest(ng - 5, 0)
+            )
+"""
+
+# DSIR importance weights (operators/dsir.py), shared by the
+# dsir_weights / dsir_topk oracles: raw corpus = documents, target =
+# source='src0'. Buckets are 60-bit md5 prefixes % 1024 of every
+# unigram/bigram OCCURRENCE; the ratio applies the unified Laplace form
+# log((count+α)/(total+αB)) on both sides, so target-missing buckets
+# get the smoothing floor exactly as the engine's coalesce does.
+_DSIR_WEIGHTS_CTE = r"""
+            WITH nw AS (
+              SELECT doc_id, source,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, source, g FROM (
+                SELECT doc_id, source, unnest(ws) AS g FROM nw
+                UNION ALL
+                SELECT doc_id, source, ws[i+1] || ' ' || ws[i+2] AS g
+                FROM nw, (SELECT unnest(range(0, 512)) AS i)
+                WHERE i < len(ws) - 1
+              ) WHERE g != ''
+            ), bf AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+              FROM feats
+            ), rc AS (
+              SELECT bucket, count(*) AS n FROM bf GROUP BY bucket
+            ), rt AS (SELECT sum(n) AS tot FROM rc),
+            tc AS (
+              SELECT bucket, count(*) AS n FROM bf
+              WHERE source = 'src0' GROUP BY bucket
+            ), tt AS (SELECT coalesce(sum(n), 0) AS tot FROM tc),
+            ratio AS (
+              SELECT rc.bucket,
+                     ln((coalesce(tc.n, 0) + 1.0) / (tt.tot + 1024.0))
+                       - ln((rc.n + 1.0) / (rt.tot + 1024.0)) AS log_ratio
+              FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket
+              CROSS JOIN rt CROSS JOIN tt
+            ), scored AS (
+              SELECT bf.doc_id, count(*)::BIGINT AS n_feats,
+                     sum(ratio.log_ratio) AS w
+              FROM bf JOIN ratio ON ratio.bucket = bf.bucket
+              GROUP BY bf.doc_id
+            ), weights AS (
+              SELECT d.doc_id,
+                     coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+                     coalesce(s.w, 0.0) AS w
+              FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3525,4 +3870,164 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, n_shared_bands, est_jaccard
             FROM est WHERE est_jaccard >= 0.5
         """,
+        # The url_* oracles CONSTRUCT the expected canonical/dedup result
+        # from doc_id arithmetic (see _URL_ORACLE_CTE) instead of parsing
+        # the URL — an independent check of the Spark-side parser.
+        "url_canonical": _URL_ORACLE_CTE + r"""
+            SELECT doc_id, url,
+                   'https://www.example' || CAST(h AS VARCHAR) || '.com/p/' ||
+                     CAST(k AS VARCHAR) || '?b=2&id=1' AS canonical_url,
+                   'example' || CAST(h AS VARCHAR) || '.com' AS domain
+            FROM uu
+        """,
+        "url_dedup_docs": _URL_ORACLE_CTE + r"""
+            SELECT doc_id, url FROM (
+              SELECT doc_id, url,
+                     row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+              FROM uu
+            ) WHERE rn = 1
+        """,
+        "url_blocklist": _URL_ORACLE_CTE + r"""
+            SELECT doc_id FROM uu WHERE h NOT IN (2, 5)
+        """,
+        # Gopher rule replay: every ratio recomputed from the raw text
+        # with DuckDB list/regex functions at the engine's default
+        # thresholds (operators/quality.py docstring).
+        "gopher_flags": r"""
+            WITH feats AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+                     END AS ws,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')
+                     END AS lws,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(ws)::DOUBLE AS nw,
+                     CASE WHEN len(ws) > 0
+                          THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+                          ELSE 0.0 END AS mean_wlen,
+                     CASE WHEN len(ws) > 0
+                          THEN ((length(t) - length(replace(t, '#', ''))) + len(regexp_extract_all(t, '\.\.\.|…')))::DOUBLE / len(ws)
+                          ELSE 0.0 END AS sym_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> regexp_matches(l, '^\s*([-*•‣▪●]|\d+[.)])\s')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS bullet_ratio,
+                     CASE WHEN len(lines) > 0
+                          THEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE / len(lines)
+                          ELSE 0.0 END AS ell_ratio,
+                     CASE WHEN len(ws) > 0
+                          THEN len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
+                          ELSE 0.0 END AS alpha_ratio,
+                     len(list_filter(lws, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS stop_hits
+              FROM feats
+            )
+            SELECT doc_id,
+                   (nw >= 50 AND nw <= 100000) AS r_word_count,
+                   (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS r_mean_word_len,
+                   (sym_ratio <= 0.1) AS r_symbol_ratio,
+                   (bullet_ratio <= 0.9) AS r_bullet_lines,
+                   (ell_ratio <= 0.3) AS r_ellipsis_lines,
+                   (alpha_ratio >= 0.8) AS r_alpha_words,
+                   (stop_hits >= 2) AS r_stopwords,
+                   ((nw >= 50 AND nw <= 100000)
+                    AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+                    AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+                    AND (ell_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+                    AND (stop_hits >= 2)) AS gopher_pass
+            FROM m
+        """,
+        # 16-word-block paragraph dedup replay: block split over the
+        # normalized text (range cross-join bounded at 256 blocks — 4096
+        # words, far past this corpus's max), global first-occurrence
+        # ranking on the block md5, ordered string_agg reassembly.
+        "paragraph_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), b AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(ws[i*16+1:i*16+16], ' ') AS para
+              FROM w, (SELECT unnest(range(0, 256)) AS i)
+              WHERE i < greatest(ceil(len(ws)/16.0)::BIGINT, 1)
+            ), h AS (
+              SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM b
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '')) AS dedup_md5,
+                   count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM h GROUP BY doc_id
+        """,
+        "paragraph_boilerplate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), b AS (
+              SELECT doc_id, md5(array_to_string(ws[i*8+1:i*8+8], ' ')) AS para_md5
+              FROM w, (SELECT unnest(range(0, 256)) AS i)
+              WHERE i < greatest(ceil(len(ws)/8.0)::BIGINT, 1)
+            )
+            SELECT para_md5, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id) AS first_doc_id
+            FROM b GROUP BY para_md5 HAVING count(*) > 1
+        """,
+        # Winnowing replay: 4-word grams, per-position keys
+        # hash·2²² + pos (60-bit md5 prefix kept to 40 bits), sliding
+        # 5-window min, full windows only (clipped window 0 for short
+        # docs), distinct selected keys.
+        "winnow_prints": _WINNOW_SEL_CTE + r"""
+            SELECT doc_id, wmin // 4194304 AS fp_hash,
+                   (wmin % 4194304)::BIGINT AS fp_pos
+            FROM sel
+        """,
+        "winnow_pairs": _WINNOW_SEL_CTE + r"""
+            , fps AS (
+              SELECT DISTINCT doc_id, wmin // 4194304 AS fp_hash FROM sel
+            ), sizes AS (
+              SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id
+            ), dfc AS (
+              SELECT fp_hash, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp_hash
+            ), rare AS (
+              SELECT f.doc_id, f.fp_hash
+              FROM fps f JOIN dfc ON dfc.fp_hash = f.fp_hash
+              WHERE dfc.df <= 64
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS n_shared
+              FROM rare a JOIN rare b ON a.fp_hash = b.fp_hash
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+            )
+            SELECT p.id_a, p.id_b, p.n_shared,
+                   round(p.n_shared / least(sa.nfp, sb.nfp)::DOUBLE, 6) AS overlap
+            FROM p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        # DSIR replay: hashed unigram+bigram occurrences (1024 md5
+        # buckets), Laplace-smoothed target/raw bucket log-probs
+        # (missing target buckets score the smoothing floor — the same
+        # unified (count+α)/(total+αB) form), per-doc log-ratio sum.
+        "dsir_weights": _DSIR_WEIGHTS_CTE + r"""
+            SELECT doc_id, n_feats, round(w, 6) AS dsir_logweight FROM weights
+        """,
+        "dsir_topk": _DSIR_WEIGHTS_CTE + r"""
+            SELECT doc_id, n_feats, round(w, 6) AS dsir_logweight
+            FROM weights WHERE n_feats > 0
+            ORDER BY w DESC, doc_id ASC LIMIT 100
+        """,
+        "semdedup_verdicts": _semdedup_oracle_sql(),
     }
