@@ -1906,25 +1906,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-6 window ROTATION (see COVERAGE.md): the driver certifies only
-    # the first 50 entries. This round the 11 round-5 additions that have
-    # never held a driver-certified row move INTO the window —
-    # doc_shuffle_shards, doc_token_mix, doc_quality_quantiles,
-    # asof_next_purchase, doc_chunks, conv_render, conv_dedup_turns,
-    # doc_bigram_logprob, ngram_containment, conv_dedup_convs,
-    # time_features. Displaced to the tail: 11 queries each certified
-    # green in ALL FIVE prior rounds (sliding_norm, group_norm,
-    # topk_events, pricing_summary, join_rollup, left_join, holdout_split,
-    # multikey_join, right_join, unpivot_stack, global_stats). After this
-    # round every one of the 86 oracle-backed queries holds a
-    # driver-certified row from some round. scripts/check_oracle.py still
-    # value-checks every oracle-backed entry, window or tail.
+    # the first 50 entries. This round BOTH never-certified cohorts move
+    # INTO the window: the 11 round-5 additions (doc_shuffle_shards,
+    # doc_token_mix, doc_quality_quantiles, asof_next_purchase, doc_chunks,
+    # conv_render, conv_dedup_turns, doc_bigram_logprob, ngram_containment,
+    # conv_dedup_convs, time_features) AND the 11 round-6 web-curation
+    # additions (url_canonical, url_dedup_docs, url_blocklist,
+    # gopher_flags, paragraph_dedup, paragraph_boilerplate, winnow_prints,
+    # winnow_pairs, dsir_weights, dsir_topk, semdedup_verdicts). Displaced
+    # to the tail: 22 queries each certified green in 4-5 prior rounds
+    # (sliding_norm, group_norm, topk_events, pricing_summary, join_rollup,
+    # left_join, holdout_split, multikey_join, right_join, unpivot_stack,
+    # global_stats, string_funcs, null_drop, sessionize, session_stats,
+    # interval_session_lookup, group_norm_scaled, cumulative, delta,
+    # dedup_keep_min, top1_per_user, tumbling_windows). After this round
+    # every one of the 97 oracle-backed queries holds a driver-certified
+    # row from some round. All 22 window entrants re-verified against their
+    # DuckDB oracles under a foreign session config (plain builder,
+    # local[16], shuffle=200, AQE) before rotation.
+    # scripts/check_oracle.py still value-checks every oracle-backed entry,
+    # window or tail.
     return {
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "group_norm_scaled": q_group_norm_scaled,
-        "interval_session_lookup": q_interval_session_lookup,
-        "string_funcs": q_string_funcs,
-        "null_drop": q_null_drop,
+        "url_canonical": q_url_canonical,
+        "url_dedup_docs": q_url_dedup_docs,
+        "url_blocklist": q_url_blocklist,
+        "gopher_flags": q_gopher_flags,
+        "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_boilerplate": q_paragraph_boilerplate,
+        "winnow_prints": q_winnow_prints,
+        "winnow_pairs": q_winnow_pairs,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "semdedup_verdicts": q_semdedup_verdicts,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "dedup_clusters": q_dedup_clusters,
@@ -1934,11 +1947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plda_scores_fixed": q_plda_scores_fixed,
         "sphnorm_fixed": q_sphnorm_fixed,
         "ann_ivf_fixed": q_ann_ivf_fixed,
-        "cumulative": q_cumulative,
-        "delta": q_delta,
-        "dedup_keep_min": q_dedup_keep_min,
-        "top1_per_user": q_top1_per_user,
-        "tumbling_windows": q_tumbling_windows,
         "trial_scores_maha_diag": q_trial_scores_maha_diag,
         "crop_tiled": q_crop_tiled,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2009,18 +2017,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join": q_right_join,
         "unpivot_stack": q_unpivot_stack,
         "global_stats": q_global_stats,
-        # round-6 additions (tail; certify in a later rotation)
-        "url_canonical": q_url_canonical,
-        "url_dedup_docs": q_url_dedup_docs,
-        "url_blocklist": q_url_blocklist,
-        "gopher_flags": q_gopher_flags,
-        "paragraph_dedup": q_paragraph_dedup,
-        "paragraph_boilerplate": q_paragraph_boilerplate,
-        "winnow_prints": q_winnow_prints,
-        "winnow_pairs": q_winnow_pairs,
-        "dsir_weights": q_dsir_weights,
-        "dsir_topk": q_dsir_topk,
-        "semdedup_verdicts": q_semdedup_verdicts,
+        "string_funcs": q_string_funcs,
+        "null_drop": q_null_drop,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "interval_session_lookup": q_interval_session_lookup,
+        "group_norm_scaled": q_group_norm_scaled,
+        "cumulative": q_cumulative,
+        "delta": q_delta,
+        "dedup_keep_min": q_dedup_keep_min,
+        "top1_per_user": q_top1_per_user,
+        "tumbling_windows": q_tumbling_windows,
     }
 
 
