@@ -1889,6 +1889,35 @@ def q_semdedup_verdicts(spark, sf):
     )
 
 
+def q_bm25_topk(spark, sf):
+    """BM25 top-5 retrieval (Robertson/Okapi, Lucene idf form): the 12
+    lowest-id documents act as queries over the full corpus; k1=1.2,
+    b=0.75, df band [1, 0.8·N] (this corpus's 31-term vocab is df-heavy,
+    so the 0.8 cap still prunes the most common terms). The query-term
+    side broadcasts into the df-filtered posting join — the candidate
+    space is Σ_t df(t), never |Q|×|C|."""
+    from featureengineer_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    qs = docs.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    out = bm25_topk(docs, qs, k=5, max_df_frac=0.8)
+    return out.select(
+        "query_id", "doc_id", "rank", _r(F.col("score")).alias("score")
+    )
+
+
+def q_bm25_idf(spark, sf):
+    """The BM25 idf table for the corpus at df band [1, 0.8·N]:
+    (term, df, idf) with the always-positive Lucene formulation
+    ln(1 + (N − df + 0.5)/(df + 0.5))."""
+    from featureengineer_spark.operators.retrieval import bm25_idf
+
+    out = bm25_idf(_t(spark, sf, "documents"), max_df_frac=0.8)
+    return out.select("term", "df", _r(F.col("idf")).alias("idf"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time window stack over sf0.001 events."""
     sf = "/root/testdata/sf0.001"
@@ -2028,6 +2057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min": q_dedup_keep_min,
         "top1_per_user": q_top1_per_user,
         "tumbling_windows": q_tumbling_windows,
+        # round-6 additions past the rotation (tail; certify later)
+        "bm25_topk": q_bm25_topk,
+        "bm25_idf": q_bm25_idf,
     }
 
 
@@ -2743,6 +2775,33 @@ def _media_real_oracle_sql(k: int = 14) -> str:
             FROM vals
         """
 
+
+# BM25 corpus model (operators/retrieval.py), shared by the bm25_topk /
+# bm25_idf oracles: normalized whitespace tokens → per-doc term
+# frequencies + doc length → corpus stats (N counts EVERY document,
+# empty/null text contributing dl=0, exactly as corpus_stats does).
+_BM25_CTE = r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), dls AS (
+              SELECT doc_id,
+                     CASE WHEN array_to_string(ws, '') = '' THEN 0
+                          ELSE len(ws) END AS dl
+              FROM tok
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+            ), occ AS (
+              SELECT t.doc_id, unnest(t.ws) AS t FROM tok t
+            ), posts AS (
+              SELECT o.doc_id, o.t AS term, count(*) AS tf,
+                     any_value(d.dl) AS dl
+              FROM occ o JOIN dls d ON o.doc_id = d.doc_id
+              WHERE o.t <> ''
+              GROUP BY o.doc_id, o.t
+            )
+"""
 
 # Winnowing fingerprint selection (operators/winnow.py), shared by the
 # winnow_prints / winnow_pairs oracles: normalized words → 4-grams →
@@ -4037,4 +4096,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY w DESC, doc_id ASC LIMIT 100
         """,
         "semdedup_verdicts": _semdedup_oracle_sql(),
+        "bm25_topk": _BM25_CTE + r"""
+            , qt AS (
+              SELECT doc_id AS query_id, t AS term, count(*) AS qtf
+              FROM occ WHERE doc_id < 12 GROUP BY doc_id, t
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM posts
+              WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY term
+            ), idf AS (
+              SELECT d.term,
+                     ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+                     s.avgdl
+              FROM dfreq d, stats s
+              WHERE d.df >= 1 AND d.df <= s.n_docs * 0.8
+            ), sc AS (
+              SELECT q.query_id, p.doc_id,
+                     sum(q.qtf * i.idf * p.tf * 2.2
+                         / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl))) AS score
+              FROM qt q
+              JOIN idf i ON q.term = i.term
+              JOIN posts p ON p.term = q.term
+              GROUP BY q.query_id, p.doc_id
+            ), rk AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank,
+                     score
+              FROM sc
+            )
+            SELECT query_id, doc_id, rank, round(score, 6) AS score
+            FROM rk WHERE rank <= 5
+        """,
+        "bm25_idf": _BM25_CTE + r"""
+            , dfreq AS (
+              SELECT term, count(*) AS df FROM posts GROUP BY term
+            )
+            SELECT d.term, d.df,
+                   round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf
+            FROM dfreq d, stats s
+            WHERE d.df >= 1 AND d.df <= s.n_docs * 0.8
+        """,
     }

@@ -111,3 +111,34 @@ from featureengineer_spark.operators.dedup import (  # noqa: F401
     near_dedup_incremental,
     ngram_containment_pairs,
 )
+from featureengineer_spark.operators.weburl import (  # noqa: F401
+    filter_blocked_domains,
+    url_dedup,
+    with_canonical_url,
+)
+from featureengineer_spark.operators.quality import (  # noqa: F401
+    gopher_filter,
+    with_gopher_flags,
+)
+from featureengineer_spark.operators.paragraphs import (  # noqa: F401
+    drop_duplicate_paragraphs,
+    duplicated_paragraph_groups,
+    split_paragraphs,
+)
+from featureengineer_spark.operators.winnow import (  # noqa: F401
+    winnow_fingerprints,
+    winnow_pairs,
+)
+from featureengineer_spark.operators.dsir import (  # noqa: F401
+    dsir_select,
+    dsir_weights,
+)
+from featureengineer_spark.operators.semdedup import (  # noqa: F401
+    semdedup,
+    semdedup_filter,
+)
+from featureengineer_spark.operators.retrieval import (  # noqa: F401
+    bm25_idf,
+    bm25_topk,
+    corpus_stats,
+)
