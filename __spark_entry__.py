@@ -1918,6 +1918,80 @@ def q_bm25_idf(spark, sf):
     return out.select("term", "df", _r(F.col("idf")).alias("idf"))
 
 
+def q_event_thread_roots(spark, sf):
+    """Thread flattening via pointer doubling: a deterministic reply
+    forest over the first 65,536 events (blocks of 64, binary-tree
+    parent (k−1)//2 within each block, k≡0 the root) is resolved to
+    (event_id, root_id, depth) in O(log depth) self-join rounds.
+    DuckDB replays the same forest with a RECURSIVE CTE — the
+    one-hop-per-pass plan this operator exists to replace at scale."""
+    from featureengineer_spark.operators.hierarchy import resolve_roots
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_id") < 65536)
+        .select("event_id")
+    )
+    k = F.col("event_id") % 64
+    pt = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(k == 0, F.lit(None).cast("long"))
+        .otherwise(
+            (
+                F.floor(F.col("event_id") / 64) * 64 + F.floor((k - 1) / 2)
+            ).cast("long")
+        )
+        .alias("parent_id"),
+    )
+    out = resolve_roots(pt, "id", "parent_id", max_iter=8)
+    return out.select(F.col("id").alias("event_id"), "root_id", "depth")
+
+
+def q_corpus_overlap(spark, sf):
+    """Pairwise corpus-overlap audit between the document sources:
+    Broder MinHash estimate (64 md5-universal-hash slots, the exact
+    coefficient family the near-dup gate uses) next to the true
+    shingle-set Jaccard — the pre-mixing audit a multi-snapshot corpus
+    needs. The estimate path reads |groups| signature rows in the pair
+    stage regardless of corpus size; the exact path is the bounded
+    verification join."""
+    from featureengineer_spark.operators.overlap import corpus_overlap
+
+    out = corpus_overlap(
+        _t(spark, sf, "documents"), hash_fn="md5", exact=True
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        _r(F.col("est_jaccard")).alias("est_jaccard"),
+        _r(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def q_bloom_gate_flags(spark, sf):
+    """Bloom ingest gate verdicts: the first 400 documents' normalized
+    texts build a deliberately tight bitmap (m=2048, k=3 — measurable
+    false-positive pressure), then every document is probed. True =
+    might-contain (all k bits set; every genuinely seen key MUST read
+    True — no false negatives), False = definitely new. DuckDB replays
+    the md5 double-hash positions and the all-bits-set test exactly, so
+    even the false-positive verdicts are value-checked."""
+    from featureengineer_spark.operators.bloom import (
+        build_bloom,
+        with_bloom_flag,
+    )
+    from featureengineer_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("key")
+    )
+    bloom = build_bloom(
+        docs.filter(F.col("doc_id") < 400), "key", m_bits=2048, k=3
+    )
+    out = with_bloom_flag(docs, "key", bloom, m_bits=2048, k=3)
+    return out.select("doc_id", "might_contain")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time window stack over sf0.001 events."""
     sf = "/root/testdata/sf0.001"
@@ -2060,6 +2134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions past the rotation (tail; certify later)
         "bm25_topk": q_bm25_topk,
         "bm25_idf": q_bm25_idf,
+        "event_thread_roots": q_event_thread_roots,
+        "corpus_overlap": q_corpus_overlap,
+        "bloom_gate_flags": q_bloom_gate_flags,
     }
 
 
@@ -4136,5 +4213,116 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf
             FROM dfreq d, stats s
             WHERE d.df >= 1 AND d.df <= s.n_docs * 0.8
+        """,
+        "event_thread_roots": r"""
+            WITH RECURSIVE pt AS (
+              SELECT event_id AS id,
+                     CASE WHEN event_id % 64 = 0 THEN NULL
+                          ELSE (event_id // 64) * 64 + ((event_id % 64) - 1) // 2
+                     END AS parent_id
+              FROM events WHERE event_id < 65536
+            ), walk AS (
+              SELECT id, id AS cur, 0 AS depth FROM pt
+              UNION ALL
+              SELECT w.id, p.parent_id AS cur, w.depth + 1
+              FROM walk w JOIN pt p ON w.cur = p.id
+              WHERE p.parent_id IS NOT NULL
+            ), fin AS (
+              SELECT id, cur AS root_id, depth,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY depth DESC) AS rn
+              FROM walk
+            )
+            SELECT id AS event_id, root_id, depth FROM fin WHERE rn = 1
+        """,
+        "corpus_overlap": r"""
+            -- corpus-level MinHash (operators/overlap.py): same
+            -- normalization/shingles/univ-hash family as minhash_lsh but
+            -- grouped by source; exact Jaccard from distinct shingles
+            WITH w AS (
+              SELECT source,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT source,
+                     list_distinct(list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM w
+            ), e AS (
+              SELECT DISTINCT source, sh FROM (
+                SELECT source, unnest(grams) AS sh FROM g
+              )
+            ), h AS (
+              SELECT source, sh,
+                     ('0x' || substr(md5('42:' || sh), 1, 15))::BIGINT % 2147483647 AS hv
+              FROM e
+            ), coeffs AS (
+              SELECT {A}::BIGINT[] AS ca, {B}::BIGINT[] AS cb
+            ), perms AS (SELECT unnest(range(0, 64)) AS p),
+            mins AS (
+              SELECT h.source, perms.p,
+                     min((ca[perms.p + 1] * h.hv + cb[perms.p + 1]) % 2147483647) AS mh
+              FROM h CROSS JOIN perms CROSS JOIN coeffs
+              GROUP BY h.source, perms.p
+            ), sig AS (
+              SELECT source, list(mh ORDER BY p) AS s FROM mins GROUP BY source
+            ), sizes AS (
+              SELECT source, count(*) AS n FROM e GROUP BY source
+            ), inter AS (
+              SELECT x.source AS group_a, y.source AS group_b,
+                     count(*) AS i
+              FROM e x JOIN e y ON x.sh = y.sh AND x.source < y.source
+              GROUP BY 1, 2
+            ), prs AS (
+              SELECT a.source AS group_a, b.source AS group_b,
+                     a.s AS sa, b.s AS sb
+              FROM sig a JOIN sig b ON a.source < b.source
+            ), est AS (
+              SELECT group_a, group_b,
+                     sum(CASE WHEN sa[pp.p + 1] = sb[pp.p + 1]
+                         THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+              FROM prs CROSS JOIN perms pp
+              GROUP BY group_a, group_b
+            )
+            SELECT e2.group_a, e2.group_b,
+                   round(e2.est_jaccard, 6) AS est_jaccard,
+                   round(coalesce(i.i, 0)
+                         / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS jaccard
+            FROM est e2
+            LEFT JOIN inter i
+              ON i.group_a = e2.group_a AND i.group_b = e2.group_b
+            JOIN sizes sa ON sa.source = e2.group_a
+            JOIN sizes sb ON sb.source = e2.group_b
+        """.replace("{A}", _sql_int_list(_MINHASH_A)).replace(
+            "{B}", _sql_int_list(_MINHASH_B)
+        ),
+        "bloom_gate_flags": r"""
+            -- Bloom gate replica (operators/bloom.py): md5 double-hash
+            -- positions g_i = (h1 + i*h2) mod 2048, i < 3; corpus =
+            -- doc_id < 400; might_contain = all 3 bits present
+            WITH keys AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS key
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || key), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5('43:' || key), 1, 15))::BIGINT AS h2
+              FROM keys WHERE key IS NOT NULL
+            ), grid AS (SELECT unnest(range(0, 3)) AS i),
+            cpos AS (
+              SELECT DISTINCT (h1 + i * h2) % 2048 AS pos
+              FROM hashed, grid WHERE doc_id < 400
+            ), ipos AS (
+              SELECT doc_id, (h1 + i * h2) % 2048 AS pos
+              FROM hashed, grid
+            ), flags AS (
+              SELECT doc_id,
+                     min(CASE WHEN pos IN (SELECT pos FROM cpos)
+                         THEN 1 ELSE 0 END) = 1 AS might_contain
+              FROM ipos GROUP BY doc_id
+            )
+            SELECT k.doc_id, coalesce(f.might_contain, FALSE) AS might_contain
+            FROM keys k LEFT JOIN flags f ON k.doc_id = f.doc_id
         """,
     }

@@ -142,3 +142,16 @@ from featureengineer_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
     corpus_stats,
 )
+from featureengineer_spark.operators.hierarchy import (  # noqa: F401
+    resolve_roots,
+    with_thread_root,
+)
+from featureengineer_spark.operators.overlap import (  # noqa: F401
+    corpus_overlap,
+    corpus_signatures,
+)
+from featureengineer_spark.operators.bloom import (  # noqa: F401
+    bloom_gate,
+    build_bloom,
+    with_bloom_flag,
+)
