@@ -1992,6 +1992,25 @@ def q_bloom_gate_flags(spark, sf):
     return out.select("doc_id", "might_contain")
 
 
+def q_doc_weighted_sample(spark, sf):
+    """Efraimidis-Spirakis weighted sample without replacement: 50 docs
+    drawn with probability proportional to length (weight = n_chars),
+    selection a pure function of (seed, doc_id, weight) via the md5
+    variant — DuckDB replays the ln(u)/w priorities and picks the
+    identical 50 rows in the identical rank order."""
+    from featureengineer_spark.operators.curation import weighted_sample
+
+    out = weighted_sample(
+        _t(spark, sf, "documents"),
+        k=50,
+        weight_col="n_chars",
+        id_col="doc_id",
+        seed=7,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "n_chars", "sample_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time window stack over sf0.001 events."""
     sf = "/root/testdata/sf0.001"
@@ -2137,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_thread_roots": q_event_thread_roots,
         "corpus_overlap": q_corpus_overlap,
         "bloom_gate_flags": q_bloom_gate_flags,
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -4324,5 +4344,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k.doc_id, coalesce(f.might_contain, FALSE) AS might_contain
             FROM keys k LEFT JOIN flags f ON k.doc_id = f.doc_id
+        """,
+        "doc_weighted_sample": r"""
+            -- A-ES weighted sample replica (operators/curation.py):
+            -- u = (md5_60('7:'||id) + 1) / 2^60, key = ln(u)/w,
+            -- top-50 by key desc (doc_id asc ties)
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     ln((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                        / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS aes_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY aes_key DESC, doc_id) AS INT)
+                     AS sample_rank
+            FROM keyed
+            ORDER BY aes_key DESC, doc_id
+            LIMIT 50
         """,
     }

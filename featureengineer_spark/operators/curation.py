@@ -419,3 +419,67 @@ def drop_repeated_turns(
         .filter(~F.col("__rep"))
         .drop("__rep")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006): every row gets priority
+    ``u^(1/w)`` for a uniform ``u``; the k largest priorities are a
+    weighted sample without replacement. Here ``u`` derives from a
+    seeded hash of the id, so the sample is a pure function of
+    (seed, ids, weights): re-runs, retries, and repartitioning select
+    exactly the same rows (the same property ``stratified_sample``
+    guarantees), and quality-weighted subcorpus draws become
+    reproducible artifacts instead of RNG lottery tickets.
+
+    Ranking uses the monotone-equivalent key ``ln(u)/w`` (avoids the
+    pow underflow at large weights). Rows with NULL, zero, or negative
+    weight are never selected — A-ES is defined for positive weights.
+    Returns the selected rows with their ``sample_rank`` (1 = highest
+    priority). Scale shape: one map-side key projection + a global
+    top-k (rank window over a k-bounded TakeOrdered-style sort) — at
+    huge k prefer per-shard draws; the k here is a driver-chosen
+    sample size, not the corpus.
+
+    ``hash_fn='md5'`` makes u — and every selection verdict — replay
+    byte-identically in DuckDB (graft of the reference's seeded
+    subset draws, ``IVector.py:1090-1104``).
+    """
+    from featureengineer_spark.operators.dedup import _md5_long
+
+    if hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64(F.lit(seed), F.col(id_col)))
+        denom = float(1 << 63)
+    elif hash_fn == "md5":
+        h = _md5_long(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+        denom = float(1 << 60)
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    # u in (0, 1]: (h + 1) / denom, never 0 so ln(u) is finite
+    u = (h + F.lit(1).cast("double")) / F.lit(denom)
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__aes_key", F.log(u) / w
+    )
+    # global sort+limit compiles to TakeOrderedAndProject — every task
+    # keeps a k-bounded heap, no single-partition window over the
+    # corpus; the rank window then runs over only k rows
+    topk = keyed.orderBy(
+        F.col("__aes_key").desc(), F.col(id_col).asc()
+    ).limit(k)
+    win = Window.orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
+    return (
+        topk.withColumn("sample_rank", F.row_number().over(win))
+        .drop("__aes_key")
+    )
