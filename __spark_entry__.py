@@ -2011,6 +2011,41 @@ def q_doc_weighted_sample(spark, sf):
     return out.select("doc_id", "n_chars", "sample_rank")
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (SIGIR'09): BM25
+    top-5 (lexical, over documents.text) and embedding-cosine top-5
+    (semantic, over the id-aligned embeddings table) are fused as
+    Σ 1/(60+rank) — ranks are the only thing crossing lists, so the
+    incomparable BM25/cosine score scales never need calibration.
+    DuckDB replays both rankings and the fused order end to end."""
+    from featureengineer_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from featureengineer_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf, "documents")
+    qs = docs.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, qs, k=5, max_df_frac=0.8).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eq = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = cosine_topk(emb, eq, k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse([lex, sem], top_k=8)
+    return out.select(
+        "query_id",
+        "doc_id",
+        _r(F.col("rrf_score")).alias("rrf_score"),
+        "rrf_rank",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full point-in-time window stack over sf0.001 events."""
     sf = "/root/testdata/sf0.001"
@@ -2157,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "bloom_gate_flags": q_bloom_gate_flags,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -4363,5 +4399,63 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
             ORDER BY aes_key DESC, doc_id
             LIMIT 50
+        """,
+        "hybrid_rrf": _BM25_CTE + r"""
+            -- RRF hybrid (operators/retrieval.py): BM25 top-5 + cosine
+            -- top-5 fused as sum(1/(60+rank)), ties by doc_id asc
+            , qt AS (
+              SELECT doc_id AS query_id, t AS term, count(*) AS qtf
+              FROM occ WHERE doc_id < 12 GROUP BY doc_id, t
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM posts
+              WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY term
+            ), idf AS (
+              SELECT d.term,
+                     ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+                     s.avgdl
+              FROM dfreq d, stats s
+              WHERE d.df >= 1 AND d.df <= s.n_docs * 0.8
+            ), sc AS (
+              SELECT q.query_id, p.doc_id,
+                     sum(q.qtf * i.idf * p.tf * 2.2
+                         / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / i.avgdl))) AS score
+              FROM qt q
+              JOIN idf i ON q.term = i.term
+              JOIN posts p ON p.term = q.term
+              GROUP BY q.query_id, p.doc_id
+            ), lex AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM sc QUALIFY rank <= 5
+            ), eq AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 12
+            ), cc AS (
+              SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings
+            ), ss AS (
+              SELECT query_id, neighbor_id,
+                     list_cosine_similarity(qv, cv) AS cos
+              FROM eq CROSS JOIN cc WHERE neighbor_id != query_id
+            ), sem AS (
+              SELECT query_id, neighbor_id AS doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM ss QUALIFY rank <= 5
+            ), uni AS (
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM lex
+              UNION ALL
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM sem
+            ), fs AS (
+              SELECT query_id, doc_id, sum(c) AS rrf_score
+              FROM uni GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rrf_rank
+            FROM fs
+            QUALIFY rrf_rank <= 8
         """,
     }

@@ -217,3 +217,69 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    weights: list[float] | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    N per-query rankings into one: score(q, d) = Σ_i w_i / (k + rank_i)
+    over the lists that ranked d, the published way to combine lexical
+    (BM25) and semantic (embedding top-k) retrieval without score
+    calibration — only ranks cross lists, so incomparable score scales
+    (BM25 sums vs cosines) fuse cleanly. ``k`` (default 60, the paper's
+    constant) damps the head; a document missing from a list simply
+    contributes nothing for that list.
+
+    Returns (query_col, id_col, rrf_score, rrf_rank), ties broken by
+    id ascending so the fused order is deterministic; ``top_k`` keeps
+    the best fused rows per query.
+
+    Scale shape: each input is already a bounded per-query top-k, so
+    the union holds ≤ Σ_i |Q|·k_i rows; one groupBy shuffle on
+    (query, id) and a per-query window over ≤ Σ_i k_i rows — never a
+    corpus scan, never |Q|×|C|. Reference analog: the score-fusion
+    step of its multi-system trial scoring (``IVector.py:1226-1230``
+    combines per-system scores post hoc).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    parts = [
+        r.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            (
+                F.lit(float(w))
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("__c"),
+        )
+        for r, w in zip(rankings, weights)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__q", "__d").agg(F.sum("__c").alias("rrf_score"))
+    win = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col("__d").asc()
+    )
+    out = fused.withColumn("rrf_rank", F.row_number().over(win))
+    if top_k is not None:
+        out = out.filter(F.col("rrf_rank") <= top_k)
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__d").alias(id_col),
+        "rrf_score",
+        "rrf_rank",
+    )
