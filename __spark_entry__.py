@@ -1062,6 +1062,115 @@ def q_doc_chunks(spark, sf):
     )
 
 
+def q_dup_span_extents(spark, sf):
+    """ExactSubstr detection (Lee et al. 2022 graft, word-5-gram
+    granularity): merged extents of every corpus-duplicated word span —
+    one corpus-wide l-gram count agg, per-doc run merge over only the
+    duplicated positions, never pairwise. DuckDB replays the identical
+    md5 l-gram keys, count filter, lag-based run merge, and slice."""
+    from featureengineer_spark.operators.spans import duplicated_span_extents
+
+    out = duplicated_span_extents(_t(spark, sf, "documents"), l=5)
+    return out.select(
+        "doc_id", "span_start", "span_end", "span_words",
+        F.md5(F.col("span_text")).alias("span_md5"),
+    )
+
+
+def q_dup_span_clean(spark, sf):
+    """ExactSubstr removal: every word covered by a duplicated 5-gram
+    span is dropped from every occurrence (paper semantics — no
+    canonical copy kept); the unique remainder is reassembled in order.
+    DuckDB replays coverage with a per-word NOT EXISTS over the same
+    extents."""
+    from featureengineer_spark.operators.spans import drop_duplicated_spans
+
+    out = drop_duplicated_spans(_t(spark, sf, "documents"), l=5)
+    return out.select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"), "removed_words"
+    )
+
+
+def _bpe_literals():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "trained_bpe_sf001.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def q_bpe_pair_counts(spark, sf):
+    """BPE trainer round-0 pair statistics (Sennrich et al. 2016): word
+    frequencies from ONE corpus agg, then adjacent character-pair counts
+    (chars + terminal </w>) weighted by word frequency over the VOCAB
+    table — the quantity every merge round argmaxes. DuckDB replays the
+    char split + pair explode + weighted sum."""
+    from featureengineer_spark.operators.tokenize import (
+        pair_counts,
+        symbolize,
+        word_counts,
+    )
+
+    out = pair_counts(symbolize(word_counts(_t(spark, sf, "documents"))))
+    return out.select("a", "b", F.col("pcount").cast("long").alias("pcount"))
+
+
+def q_bpe_encode(spark, sf):
+    """BPE encode against the TRAINED tokenizer (24 merges captured as
+    literals by scripts/capture_bpe.py — train_bpe is deterministic:
+    argmax pair = (max count, lexicographically smallest)). Encoding is
+    the broadcast word->segmentation join with character fallback; the
+    oracle replays the same literal dimension table."""
+    from featureengineer_spark.operators.tokenize import encode_words
+
+    blob = _bpe_literals()
+    wt = spark.createDataFrame(
+        [(w, s) for w, s in blob["segs"].items()], ["word", "syms"]
+    )
+    out = encode_words(_t(spark, sf, "documents"), wt)
+    return out.select(
+        "doc_id",
+        F.col("word_idx").cast("int").alias("word_idx"),
+        "word",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """DuckDB replay of q_bpe_encode: the captured word->segmentation
+    dimension as literal VALUES, joined to per-doc word positions, with
+    the same char+</w> fallback for words outside the dimension."""
+    blob = _bpe_literals()
+    rows = ",\n              ".join(
+        "('{}', '{}', {})".format(
+            w.replace("'", "''"),
+            " ".join(s).replace("'", "''"),
+            len(s),
+        )
+        for w, s in blob["segs"].items()
+    )
+    return rf"""
+        WITH seg(word, toks, nt) AS (VALUES
+              {rows}),
+        w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents
+        ), wp AS (
+          SELECT doc_id, g.j - 1 AS word_idx, ws[g.j] AS word
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j) g
+          WHERE ws[g.j] != ''
+        )
+        SELECT wp.doc_id, CAST(wp.word_idx AS INT) AS word_idx, wp.word,
+               coalesce(seg.toks,
+                        array_to_string(string_split(wp.word, '') || ['</w>'], ' ')) AS tokens_str,
+               CAST(coalesce(seg.nt, length(wp.word) + 1) AS INT) AS n_tokens
+        FROM wp LEFT JOIN seg USING (word)
+    """
+
+
 def q_conv_render(spark, sf):
     """Conversation → training-text render mapped onto the events stream
     (entity=user, order=event_id, role=event_type, text=props): turns
@@ -2193,6 +2302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_gate_flags": q_bloom_gate_flags,
         "doc_weighted_sample": q_doc_weighted_sample,
         "hybrid_rrf": q_hybrid_rrf,
+        "dup_span_extents": q_dup_span_extents,
+        "dup_span_clean": q_dup_span_clean,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3955,6 +4068,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, g.i AS chunk_idx, n_chunks,
                    md5(substr(t, CAST(g.i AS INTEGER) * 224 + 1, 256)) AS chunk_md5
             FROM d, LATERAL (SELECT unnest(range(n_chunks)) AS i) g
+        """,
+        "bpe_pair_counts": r"""
+            WITH w AS (
+              SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS wd
+              FROM documents
+            ), wc AS (
+              SELECT wd, count(*) AS c FROM w WHERE wd != '' GROUP BY wd
+            ), syms AS (
+              SELECT wd, c, string_split(wd, '') || ['</w>'] AS s FROM wc
+            ), pairs AS (
+              SELECT c, s[g.i] AS a, s[g.i+1] AS b
+              FROM syms, LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+            )
+            SELECT a, b, CAST(sum(c) AS BIGINT) AS pcount
+            FROM pairs GROUP BY a, b
+        """,
+        "bpe_encode": _bpe_encode_oracle_sql(),
+        "dup_span_extents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), wn AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END AS nw
+              FROM w
+            ), pk AS (
+              SELECT doc_id, g.i AS pos,
+                     md5(array_to_string(ws[g.i:g.i+4], ' ')) AS key
+              FROM wn, LATERAL (SELECT unnest(generate_series(1, greatest(nw - 4, 0))) AS i) g
+            ), dupk AS (
+              SELECT key FROM pk GROUP BY key HAVING count(*) >= 2
+            ), d AS (
+              SELECT pk.doc_id, pk.pos FROM pk SEMI JOIN dupk USING (key)
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                          THEN 1 ELSE 0 END AS newflag
+              FROM d
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM runs
+            ), ext AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                     CAST(max(pos) + 4 AS INT) AS span_end
+              FROM grp GROUP BY doc_id, g
+            )
+            SELECT ext.doc_id, span_start, span_end,
+                   CAST(span_end - span_start + 1 AS INT) AS span_words,
+                   md5(array_to_string(w.ws[span_start:span_end], ' ')) AS span_md5
+            FROM ext JOIN w ON w.doc_id = ext.doc_id
+        """,
+        "dup_span_clean": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ), wn AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0 ELSE len(ws) END AS nw
+              FROM w
+            ), pk AS (
+              SELECT doc_id, g.i AS pos,
+                     md5(array_to_string(ws[g.i:g.i+4], ' ')) AS key
+              FROM wn, LATERAL (SELECT unnest(generate_series(1, greatest(nw - 4, 0))) AS i) g
+            ), dupk AS (
+              SELECT key FROM pk GROUP BY key HAVING count(*) >= 2
+            ), d AS (
+              SELECT pk.doc_id, pk.pos FROM pk SEMI JOIN dupk USING (key)
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                          THEN 1 ELSE 0 END AS newflag
+              FROM d
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM runs
+            ), ext AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+              FROM grp GROUP BY doc_id, g
+            ), wordpos AS (
+              SELECT wn.doc_id, g.j, ws[g.j] AS word
+              FROM wn, LATERAL (SELECT unnest(generate_series(1, nw)) AS j) g
+            ), keptw AS (
+              SELECT wp.doc_id, wp.j, wp.word
+              FROM wordpos wp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ext e
+                WHERE e.doc_id = wp.doc_id
+                  AND wp.j BETWEEN e.span_start AND e.span_end
+              )
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(word, ' ' ORDER BY j) AS clean_text,
+                     count(*) AS kept
+              FROM keptw GROUP BY doc_id
+            )
+            SELECT wn.doc_id, md5(coalesce(agg.clean_text, '')) AS clean_md5,
+                   CAST(wn.nw - coalesce(agg.kept, 0) AS INT) AS removed_words
+            FROM wn LEFT JOIN agg USING (doc_id)
         """,
         "conv_render": r"""
             WITH r AS (

@@ -155,3 +155,14 @@ from featureengineer_spark.operators.bloom import (  # noqa: F401
     build_bloom,
     with_bloom_flag,
 )
+from featureengineer_spark.operators.spans import (  # noqa: F401
+    drop_duplicated_spans,
+    duplicated_span_extents,
+)
+from featureengineer_spark.operators.tokenize import (  # noqa: F401
+    apply_bpe,
+    encode_words,
+    pair_counts,
+    train_bpe,
+    word_counts,
+)
