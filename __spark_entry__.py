@@ -1091,6 +1091,76 @@ def q_dup_span_clean(spark, sf):
     )
 
 
+def q_html_extract(spark, sf):
+    """HTML visible-text extraction + boilerplate stats over a
+    deterministically CONSTRUCTED page per document (title from doc_id,
+    body from text, one nav anchor from lang, plus script/style/comment
+    blocks and entities that must vanish) — the oracle constructs the
+    identical page and replays the same regex chain, so the parser is
+    checked against an independent reconstruction, the url_canonical
+    pattern."""
+    from featureengineer_spark.operators.weburl import with_html_stats, with_html_text
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><style>p{color:red}</style>'
+                  '<script>var a = "<b>hi</b>";</script></head>'
+                  '<body><!-- boilerplate --><p>'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><a href="/nav">'),
+            F.coalesce(F.col("lang"), F.lit("xx")),
+            F.lit(' link</a>&amp; tail</body></html>'),
+        ).alias("html"),
+    )
+    out = with_html_stats(with_html_text(docs))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("extracted_text")).alias("extracted_md5"),
+        _r(F.col("link_density")).alias("link_density"),
+        "tag_count",
+        _r(F.col("text_ratio")).alias("text_ratio"),
+    )
+
+
+def q_temp_mix(spark, sf):
+    """Temperature-based domain mixture (mT5/XLM-R sampler, alpha=0.5)
+    over the documents table with n_chars as the token weight: per-lang
+    share ∝ share^alpha, capped at one epoch, applied as the md5
+    hash-threshold keep — fully replayed in DuckDB including the pow
+    normalization."""
+    from featureengineer_spark.operators.curation import temperature_mix
+
+    out = temperature_mix(
+        _t(spark, sf, "documents"),
+        total_tokens=120_000,
+        alpha=0.5,
+        domain_col="lang",
+        token_col="n_chars",
+        seed=11,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_ppl_buckets(spark, sf):
+    """CCNet perplexity bucketing: corpus bigram-LM pseudo-perplexity
+    per document, per-lang head/middle/tail split at the (0.33, 0.67)
+    perplexity quantiles (exact interpolated percentile — bit-identical
+    to DuckDB quantile_cont). Unscorable docs (<2 tokens) get a null
+    bucket."""
+    from featureengineer_spark.operators.textstats import with_perplexity_buckets
+
+    out = with_perplexity_buckets(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "lang",
+        _r(F.col("perplexity")).alias("perplexity"),
+        "ppl_bucket",
+    )
+
+
 def _bpe_literals():
     import json
     import os
@@ -2306,6 +2376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_clean": q_dup_span_clean,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "temp_mix": q_temp_mix,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -4068,6 +4141,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, g.i AS chunk_idx, n_chunks,
                    md5(substr(t, CAST(g.i AS INTEGER) * 224 + 1, 256)) AS chunk_md5
             FROM d, LATERAL (SELECT unnest(range(n_chunks)) AS i) g
+        """,
+        "html_extract": r"""
+            WITH page AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || doc_id::VARCHAR ||
+                     '</title><style>p{color:red}</style>' ||
+                     '<script>var a = "<b>hi</b>";</script></head>' ||
+                     '<body><!-- boilerplate --><p>' || coalesce(text, '') ||
+                     '</p><a href="/nav">' || coalesce(lang, 'xx') ||
+                     ' link</a>&amp; tail</body></html>' AS html
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id, html,
+                     regexp_replace(regexp_replace(regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS s1
+              FROM page
+            ), detag AS (
+              SELECT doc_id, html,
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(s1, '(?s)<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS s2
+              FROM stripped
+            ), extracted AS (
+              SELECT doc_id, html,
+                     trim(regexp_replace(s2, '\s+', ' ', 'g')) AS txt
+              FROM detag
+            ), anchors AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(
+                       regexp_extract_all(html, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                       a -> length(trim(regexp_replace(regexp_replace(a,
+                              '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0) AS ac,
+                     len(regexp_extract_all(html, '(?s)<[^>]*>', 0)) AS tc
+              FROM page
+            )
+            SELECT e.doc_id, md5(e.txt) AS extracted_md5,
+                   round(a.ac * 1.0 / greatest(length(e.txt), 1), 6) AS link_density,
+                   CAST(a.tc AS INT) AS tag_count,
+                   round(length(e.txt) * 1.0 / greatest(length(e.html), 1), 6) AS text_ratio
+            FROM extracted e JOIN anchors a USING (doc_id)
+        """,
+        "temp_mix": r"""
+            WITH totals AS (
+              SELECT lang, sum(n_chars) AS dt FROM documents GROUP BY lang
+            ), wsum AS (
+              SELECT sum(pow(dt, 0.5)) AS s FROM totals
+            ), fr AS (
+              SELECT lang,
+                     least(1.0, (pow(dt, 0.5) / s) * 120000 / greatest(dt, 1)) AS frac
+              FROM totals CROSS JOIN wsum
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN fr ON d.lang = fr.lang
+            WHERE ('0x' || substr(md5('11:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                  < CAST(floor(frac * 1000000) AS BIGINT)
+        """,
+        "ppl_buckets": r"""
+            WITH base AS (
+              SELECT doc_id, list_filter(string_split(
+                trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+                w -> length(w) > 0) AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, g.i AS ord, ws[CAST(g.i AS INTEGER) + 1] AS w
+              FROM base, LATERAL (SELECT unnest(range(len(ws))) AS i) g
+            ), pairs AS (
+              SELECT doc_id, prev, w AS word FROM (
+                SELECT doc_id, w,
+                       lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+                FROM toks
+              ) WHERE prev IS NOT NULL
+            ), pc AS (
+              SELECT prev, word, count(*) AS n FROM pairs GROUP BY prev, word
+            ), pt AS (
+              SELECT prev, count(*) AS n_prev FROM pairs GROUP BY prev
+            ), v AS (
+              SELECT count(DISTINCT w) AS vocab FROM toks
+            ), scored AS (
+              SELECT p.doc_id,
+                     ln((coalesce(pc.n, 0) + 1.0)
+                        / (coalesce(pt.n_prev, 0) + v.vocab + 1.0)) AS lp
+              FROM pairs p
+              LEFT JOIN pc ON pc.prev = p.prev AND pc.word = p.word
+              LEFT JOIN pt ON pt.prev = p.prev
+              CROSS JOIN v
+            ), per_doc AS (
+              SELECT doc_id, exp(-avg(lp)) AS ppl FROM scored GROUP BY doc_id
+            ), joined AS (
+              SELECT d.doc_id, d.lang, per_doc.ppl
+              FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+            ), cuts AS (
+              SELECT lang, quantile_cont(ppl, 0.33) AS c_lo,
+                     quantile_cont(ppl, 0.67) AS c_hi
+              FROM joined WHERE ppl IS NOT NULL GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, round(j.ppl, 6) AS perplexity,
+                   CASE WHEN j.ppl IS NULL THEN NULL
+                        WHEN j.ppl <= c.c_lo THEN 'head'
+                        WHEN j.ppl <= c.c_hi THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM joined j LEFT JOIN cuts c ON c.lang = j.lang
         """,
         "bpe_pair_counts": r"""
             WITH w AS (

@@ -81,6 +81,7 @@ from featureengineer_spark.operators.whitening import (  # noqa: F401
 )
 from featureengineer_spark.operators.textstats import (  # noqa: F401
     bigram_model,
+    with_perplexity_buckets,
     contamination_overlap,
     quantile_thresholds,
     unigram_model,
@@ -95,6 +96,7 @@ from featureengineer_spark.operators.textstats import (  # noqa: F401
 )
 from featureengineer_spark.operators.curation import (  # noqa: F401
     conversation_quality,
+    temperature_mix,
     drop_repeated_turns,
     pack_sequences,
     render_conversations,
@@ -112,7 +114,10 @@ from featureengineer_spark.operators.dedup import (  # noqa: F401
     ngram_containment_pairs,
 )
 from featureengineer_spark.operators.weburl import (  # noqa: F401
+    extract_html_text,
     filter_blocked_domains,
+    with_html_stats,
+    with_html_text,
     url_dedup,
     with_canonical_url,
 )

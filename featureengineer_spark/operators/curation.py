@@ -303,6 +303,70 @@ def token_budget_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.7,
+    domain_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-based domain mixture (the multilingual-pretraining
+    sampler of mT5/XLM-R; ``alpha=1`` is proportional sampling,
+    ``alpha→0`` approaches uniform-over-domains — UniMax-style tail
+    boosting): each domain's token share of the ``total_tokens`` budget
+    is ``p_d^alpha / Σ p^alpha`` where ``p_d`` is its natural token
+    share, capped at one epoch of the domain (sampling is without
+    replacement — a domain can contribute at most all of its tokens;
+    re-spread of the clipped surplus is deliberately NOT done so the
+    kept set stays NESTED under budget increases).
+
+    Same determinism contract as :func:`token_budget_mix`: keep iff
+    ``hash(seed, id) mod 1e6 < floor(frac·1e6)`` — rerun- and
+    partitioning-invariant, md5 variant exactly replayable in SQL.
+
+    Scale: one groupBy(domain) agg (|domains| rows), the normalizer
+    computed over that tiny frame, broadcast back; the corpus itself is
+    never shuffled."""
+    from featureengineer_spark.operators.dedup import _md5_long
+
+    totals = df.groupBy(F.col(domain_col).alias("__mix_domain")).agg(
+        F.sum(token_col).alias("__domain_tokens")
+    )
+    w_expr = F.pow(F.col("__domain_tokens").cast("double"), F.lit(float(alpha)))
+    weighted = totals.withColumn("__w", w_expr)
+    norm = weighted.agg(F.sum("__w").alias("__wsum"))
+    weighted = weighted.crossJoin(F.broadcast(norm))
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("__w") / F.col("__wsum"))
+        * F.lit(float(total_tokens))
+        / F.greatest(F.col("__domain_tokens"), F.lit(1)),
+    )
+    weighted = weighted.select(
+        "__mix_domain", frac.alias("__frac")
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(id_col))
+    elif hash_fn == "md5":
+        h = _md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return (
+        df.join(
+            F.broadcast(weighted),
+            on=F.col(domain_col).eqNullSafe(F.col("__mix_domain")),
+        )
+        .filter(
+            F.pmod(h, F.lit(SAMPLE_DENOM))
+            < (F.col("__frac") * SAMPLE_DENOM).cast("long")
+        )
+        .drop("__mix_domain", "__frac")
+    )
+
+
 def with_chunks(
     df: DataFrame,
     text_col: str = "text",

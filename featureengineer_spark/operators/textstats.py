@@ -509,3 +509,59 @@ def with_bigram_logprob(
         F.count("*").alias("n_scored_pairs"),
     )
     return df.join(per_doc, on=id_col, how="left")
+
+
+def with_perplexity_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "lang",
+    cuts: tuple[float, float] = (0.33, 0.67),
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with the corpus bigram LM (pseudo-perplexity
+    ``exp(-mean_bigram_logprob)``, the KenLM stand-in this engine
+    trains distributed), cut each group at the ``cuts`` quantiles of the
+    perplexity distribution, and label documents ``head`` (lowest
+    perplexity = most fluent), ``middle``, or ``tail`` — the three-way
+    split CCNet uses to keep/inspect/drop web text.
+
+    Documents the LM cannot score (< 2 tokens) get a null bucket.
+    ``approx=True`` switches the cut computation to the
+    ``approx_percentile`` sketch (constant memory per group — the
+    100 TB path); the cut table is |groups| rows either way and is
+    broadcast back, so the corpus is scanned twice (score, label) and
+    never shuffled beyond the LM join."""
+    if model is None:
+        model = bigram_model(df, text_col=text_col)
+    scored = with_bigram_logprob(
+        df, model=model, text_col=text_col, id_col=id_col
+    ).withColumn("perplexity", F.exp(-F.col("mean_bigram_logprob")))
+    lo, hi = cuts
+
+    def _name(q: float) -> str:
+        pct = q * 100
+        s = (f"{pct:.10f}").rstrip("0").rstrip(".").replace(".", "_")
+        return f"q{s}"
+
+    cuts_df = quantile_thresholds(
+        scored.filter(F.col("perplexity").isNotNull()),
+        "perplexity",
+        group_col=group_col,
+        qs=(lo, hi),
+        approx=approx,
+    )
+    c_lo, c_hi = F.col(_name(lo)), F.col(_name(hi))
+    if group_col:
+        labeled = scored.join(F.broadcast(cuts_df), on=group_col, how="left")
+    else:
+        labeled = scored.crossJoin(F.broadcast(cuts_df))
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= c_lo, F.lit("head"))
+        .when(F.col("perplexity") <= c_hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.withColumn("ppl_bucket", bucket).drop(_name(lo), _name(hi))

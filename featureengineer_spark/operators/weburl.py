@@ -154,3 +154,91 @@ def filter_blocked_domains(
         how="left_anti",
     )
     return out.drop("__dom")
+
+
+#: Tag-stripping passes for :func:`extract_html_text`, in order. Every
+#: regex is supported identically by Java regex (Spark) and RE2 (DuckDB):
+#: inline flags (?is), lazy quantifiers, \b word boundary.
+_HTML_DROP_BLOCKS = (
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so "&amp;lt;" decodes to "&lt;" not "<"
+)
+_ANCHOR_REGEX = r"(?is)<a\b[^>]*>(.*?)</a>"
+_TAG_REGEX = r"(?s)<[^>]*>"
+
+
+def extract_html_text(col: F.Column) -> F.Column:
+    """Visible text of an HTML document as one expression chain:
+    drop script/style/comment blocks, replace every remaining tag with a
+    space, decode the six standard entities, collapse whitespace.
+
+    A deterministic regex extractor (the boilerplate-agnostic first
+    stage of CCNet/RefinedWeb-style web pipelines — rule-based content
+    selection like link-density pruning builds on the stats below).
+    Pure codegen'd ``regexp_replace`` chain: no shuffle, no Python."""
+    c = F.coalesce(col, F.lit(""))
+    for pat in _HTML_DROP_BLOCKS:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, _TAG_REGEX, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def with_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Add ``out_col`` = the visible text of ``html_col``."""
+    return df.withColumn(out_col, extract_html_text(F.col(html_col)))
+
+
+def with_html_stats(
+    df: DataFrame, html_col: str = "html", prefix: str = ""
+) -> DataFrame:
+    """Boilerplate signals for rule-based web curation: ``link_density``
+    (fraction of the visible text that lives inside anchor tags — the
+    classic nav/boilerplate discriminator), ``tag_count``, and
+    ``text_ratio`` (visible-text chars / raw HTML chars). All pure
+    expressions over the raw column; the anchor scan is one
+    ``regexp_extract_all`` + higher-order sum."""
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    text = extract_html_text(F.col(html_col))
+    anchors = F.regexp_extract_all(raw, F.lit(_ANCHOR_REGEX), 1)
+    anchor_chars = F.aggregate(
+        F.transform(
+            anchors,
+            lambda a: F.length(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(a, _TAG_REGEX, " "), r"\s+", " "
+                    )
+                )
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    text_len = F.length(text)
+    return (
+        df.withColumn(
+            prefix + "link_density",
+            (anchor_chars / F.greatest(text_len, F.lit(1))).cast("double"),
+        )
+        .withColumn(
+            prefix + "tag_count",
+            F.size(F.regexp_extract_all(raw, F.lit(_TAG_REGEX), 0)).cast("int"),
+        )
+        .withColumn(
+            prefix + "text_ratio",
+            (text_len / F.greatest(F.length(raw), F.lit(1))).cast("double"),
+        )
+    )

@@ -23,15 +23,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (n_convs, mega, mega_len) — ~1.6M / ~14.7M / ~55M / ~110M / ~250M turns
+# (n_convs, mega, mega_len, n_buckets, driver_mem) —
+# ~1.6M / ~14.7M / ~55M / ~110M / ~250M / ~534M turns.
+# Bucket count rises with the rung so per-bucket (= per-task, since
+# bucketed scans never split a file mid-conversation) row counts stay
+# bounded — on a real cluster this is "more files per partition", not a
+# plan change; in one local JVM it is what keeps 32 concurrent tasks'
+# columnar batches inside the heap (see the 246M-rung note in LADDER.md).
 SIZES = [
-    (60_000, 3, 100_000),
-    (600_000, 6, 200_000),
-    (2_400_000, 6, 200_000),
-    (4_800_000, 8, 250_000),
-    (10_800_000, 10, 300_000),
+    (60_000, 3, 100_000, 256, "100g"),
+    (600_000, 6, 200_000, 256, "100g"),
+    (2_400_000, 6, 200_000, 256, "100g"),
+    (4_800_000, 8, 250_000, 256, "100g"),
+    (10_800_000, 10, 300_000, 256, "100g"),
+    (21_600_000, 12, 400_000, 1024, "64g"),
 ]
-N_BUCKETS = 256
 REPS = 2
 
 
@@ -39,20 +45,26 @@ def data_path(n_convs: int, mega: int, mega_len: int) -> str:
     return f"/tmp/fe_ladder_c{n_convs}_m{mega}x{mega_len}.parquet"
 
 
-def ensure_input(n_convs: int, mega: int, mega_len: int) -> None:
+def ensure_input(n_convs: int, mega: int, mega_len: int, n_buckets: int, _mem: str) -> None:
     path = data_path(n_convs, mega, mega_len)
     if os.path.exists(path + "/_SUCCESS"):
         return
     from featureengineer_spark import get_spark
     from featureengineer_spark.data import synth_transcripts_spark
 
-    spark = get_spark(master="local[32]", shuffle_partitions=256, app_name="ladder-gen")
+    spark = get_spark(master="local[32]", shuffle_partitions=n_buckets, app_name="ladder-gen")
     spark.sparkContext.setLogLevel("ERROR")
     (
-        synth_transcripts_spark(spark, n_convs=n_convs, mega=mega, mega_len=mega_len, seed=7)
-        .repartition(N_BUCKETS, "conv_id")
+        # partitions=n_buckets keeps each generation task's explode+shuffle
+        # buffers bounded as the rung grows (32 source partitions at the
+        # 534M rung put ~17M generated rows in one shuffle-write task).
+        synth_transcripts_spark(
+            spark, n_convs=n_convs, mega=mega, mega_len=mega_len, seed=7,
+            partitions=n_buckets,
+        )
+        .repartition(n_buckets, "conv_id")
         .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "conv_id")
+        .bucketBy(n_buckets, "conv_id")
         .sortBy("conv_id", "ts", "turn_idx")
         .option("path", path)
         .saveAsTable(f"ladder_build_{n_convs}")
@@ -61,7 +73,7 @@ def ensure_input(n_convs: int, mega: int, mega_len: int) -> None:
 
 
 def child(idx: int) -> None:
-    n_convs, mega, mega_len = SIZES[idx]
+    n_convs, mega, mega_len, n_buckets, _mem = SIZES[idx]
     path = data_path(n_convs, mega, mega_len)
     from bench import feature_pipeline
     from featureengineer_spark import get_spark
@@ -82,7 +94,7 @@ def child(idx: int) -> None:
     spark.sql(
         f"CREATE TABLE ladder_t ({ddl}) USING parquet "
         f"CLUSTERED BY (conv_id) SORTED BY (conv_id, ts, turn_idx) "
-        f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
     t = spark.table("ladder_t")
     n = t.count()
@@ -102,15 +114,18 @@ def child(idx: int) -> None:
     spark.stop()
 
 
-def orchestrate() -> None:
+def orchestrate(only: list[int] | None = None) -> None:
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
-    for size in SIZES:
-        ensure_input(*size)
+    idxs = only if only is not None else list(range(len(SIZES)))
+    for idx in idxs:
+        ensure_input(*SIZES[idx])
     out = []
-    for idx in range(len(SIZES)):
+    for idx in idxs:
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", SIZES[idx][4])
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(idx)],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("CHILD_JSON:")]
@@ -124,5 +139,7 @@ def orchestrate() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         child(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--only":
+        orchestrate([int(x) for x in sys.argv[2].split(",")])
     else:
         orchestrate()
