@@ -2246,18 +2246,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # INTO the window: the 11 round-5 additions (doc_shuffle_shards,
     # doc_token_mix, doc_quality_quantiles, asof_next_purchase, doc_chunks,
     # conv_render, conv_dedup_turns, doc_bigram_logprob, ngram_containment,
-    # conv_dedup_convs, time_features) AND the 11 round-6 web-curation
+    # conv_dedup_convs, time_features), the 11 round-6 web-curation
     # additions (url_canonical, url_dedup_docs, url_blocklist,
     # gopher_flags, paragraph_dedup, paragraph_boilerplate, winnow_prints,
-    # winnow_pairs, dsir_weights, dsir_topk, semdedup_verdicts). Displaced
-    # to the tail: 22 queries each certified green in 4-5 prior rounds
-    # (sliding_norm, group_norm, topk_events, pricing_summary, join_rollup,
-    # left_join, holdout_split, multikey_join, right_join, unpivot_stack,
+    # winnow_pairs, dsir_weights, dsir_topk, semdedup_verdicts), AND the
+    # 14 later round-6 additions (bm25_topk, bm25_idf, event_thread_roots,
+    # corpus_overlap, bloom_gate_flags, doc_weighted_sample, hybrid_rrf,
+    # dup_span_extents, dup_span_clean, bpe_pair_counts, bpe_encode,
+    # html_extract, temp_mix, ppl_buckets) — all 36 never-certified
+    # queries fit in one window, padded by 14 round-4/5-certified entries
+    # (near_dedup_docs..session_quality). Displaced to the tail: 36
+    # queries each certified green in 1-5 prior rounds (sliding_norm,
+    # group_norm, topk_events, pricing_summary, join_rollup, left_join,
+    # holdout_split, multikey_join, right_join, unpivot_stack,
     # global_stats, string_funcs, null_drop, sessionize, session_stats,
     # interval_session_lookup, group_norm_scaled, cumulative, delta,
-    # dedup_keep_min, top1_per_user, tumbling_windows). After this round
-    # every one of the 97 oracle-backed queries holds a driver-certified
-    # row from some round. All 22 window entrants re-verified against their
+    # dedup_keep_min, top1_per_user, tumbling_windows, media_features,
+    # media_features_real, dedup_clusters, trial_scores_2cov,
+    # gmm_suff_stats_fixed, latent_factors_fixed, plda_scores_fixed,
+    # sphnorm_fixed, ann_ivf_fixed, trial_scores_maha_diag, crop_tiled,
+    # simhash_near_dups, ann_lsh, emb_near_dups). After this round every
+    # one of the 111 oracle-backed queries holds a driver-certified row
+    # from some round. All 36 window entrants re-verified against their
     # DuckDB oracles under a foreign session config (plain builder,
     # local[16], shuffle=200, AQE) before rotation.
     # scripts/check_oracle.py still value-checks every oracle-backed entry,
@@ -2274,20 +2284,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
         "semdedup_verdicts": q_semdedup_verdicts,
-        "media_features": q_media_features,
-        "media_features_real": q_media_features_real,
-        "dedup_clusters": q_dedup_clusters,
-        "trial_scores_2cov": q_trial_scores_2cov,
-        "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
-        "latent_factors_fixed": q_latent_factors_fixed,
-        "plda_scores_fixed": q_plda_scores_fixed,
-        "sphnorm_fixed": q_sphnorm_fixed,
-        "ann_ivf_fixed": q_ann_ivf_fixed,
-        "trial_scores_maha_diag": q_trial_scores_maha_diag,
-        "crop_tiled": q_crop_tiled,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_lsh": q_ann_lsh,
-        "emb_near_dups": q_emb_near_dups,
+        "bm25_topk": q_bm25_topk,
+        "bm25_idf": q_bm25_idf,
+        "event_thread_roots": q_event_thread_roots,
+        "corpus_overlap": q_corpus_overlap,
+        "bloom_gate_flags": q_bloom_gate_flags,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dup_span_extents": q_dup_span_extents,
+        "dup_span_clean": q_dup_span_clean,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "temp_mix": q_temp_mix,
+        "ppl_buckets": q_ppl_buckets,
         "near_dedup_docs": q_near_dedup_docs,
         "doc_redaction": q_doc_redaction,
         "doc_repetition": q_doc_repetition,
@@ -2317,6 +2327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # holds a driver-certified green row from a prior round
         # (CORRECTNESS_r0{1,2,3,4,5}) and stays value-checked each round by
         # scripts/check_oracle.py.
+        "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
+        "dedup_clusters": q_dedup_clusters,
+        "trial_scores_2cov": q_trial_scores_2cov,
+        "gmm_suff_stats_fixed": q_gmm_suff_stats_fixed,
+        "latent_factors_fixed": q_latent_factors_fixed,
+        "plda_scores_fixed": q_plda_scores_fixed,
+        "sphnorm_fixed": q_sphnorm_fixed,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
+        "trial_scores_maha_diag": q_trial_scores_maha_diag,
+        "crop_tiled": q_crop_tiled,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+        "emb_near_dups": q_emb_near_dups,
         "inter_event_latency": q_inter_event_latency,
         "union_distinct": q_union_distinct,
         "map_lookup": q_map_lookup,
@@ -2364,21 +2388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_min": q_dedup_keep_min,
         "top1_per_user": q_top1_per_user,
         "tumbling_windows": q_tumbling_windows,
-        # round-6 additions past the rotation (tail; certify later)
-        "bm25_topk": q_bm25_topk,
-        "bm25_idf": q_bm25_idf,
-        "event_thread_roots": q_event_thread_roots,
-        "corpus_overlap": q_corpus_overlap,
-        "bloom_gate_flags": q_bloom_gate_flags,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "hybrid_rrf": q_hybrid_rrf,
-        "dup_span_extents": q_dup_span_extents,
-        "dup_span_clean": q_dup_span_clean,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_encode": q_bpe_encode,
-        "html_extract": q_html_extract,
-        "temp_mix": q_temp_mix,
-        "ppl_buckets": q_ppl_buckets,
     }
 
 
