@@ -1161,6 +1161,73 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+def _quality_clf_literals():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "quality_clf_sf001.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def q_quality_clf_scores(spark, sf):
+    """fastText-style hashed-ngram logistic quality classifier (the
+    discriminative web filter of the published GPT-3/LLaMA/RedPajama
+    pipelines), TRAINED AT QUERY TIME — 25 full-batch GD iterations
+    whose per-task gradient partials fold bit-deterministically in pid
+    order (classifier.py; same contract as the GMM/TV chain) — to
+    separate the curated sources src0-src3 from the rest, then scored
+    over all documents as a pure expression plan (explode ->
+    broadcast weight dim -> per-doc mean -> sigmoid). The oracle
+    replays SCORING with the captured literal weights
+    (scripts/capture_quality_clf.py), certifying both that training
+    reproduces the committed model and that the scoring plan is exact.
+    Weights are rounded to 12 decimals on both sides so sub-1e-12
+    drift cannot desync them."""
+    import numpy as np
+
+    from featureengineer_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn(
+        "__lab",
+        F.col("source").isin("src0", "src1", "src2", "src3").cast("int"),
+    )
+    model = train_quality_classifier(
+        labeled, label_col="__lab", n_buckets=512, n_iter=25,
+        lr=1.0, l2=1e-4,
+    )
+    model.weights = np.round(model.weights, 12)
+    model.bias = round(float(model.bias), 12)
+    out = score_quality(docs, model)
+    return out.select(
+        "doc_id", "source", _r(F.col("quality_prob")).alias("quality_prob")
+    )
+
+
+def q_pagerank_hosts(spark, sf):
+    """Host-graph PageRank quality prior (Common Crawl publishes
+    host-level PageRank / harmonic-centrality rankings used as web
+    curation signals): a deterministic 997-host multigraph derived
+    from event ids (src = id mod 997, dst = (31*id+7) mod 997), 5
+    damped power iterations with dangling-mass redistribution. The
+    oracle replays the identical iteration UNROLLED as a DuckDB CTE
+    chain — the per-round-materialization single-node plan whose
+    distribution is the point of the operator."""
+    from featureengineer_spark.operators.graphrank import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        ((F.col("event_id") * 31 + 7) % 997).alias("dst"),
+    )
+    out = pagerank(edges, n_iter=5)
+    return out.select("node", _r(F.col("rank")).alias("rank"))
+
+
 def _bpe_literals():
     import json
     import os
@@ -2298,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "temp_mix": q_temp_mix,
         "ppl_buckets": q_ppl_buckets,
+        "quality_clf_scores": q_quality_clf_scores,
+        "pagerank_hosts": q_pagerank_hosts,
         "near_dedup_docs": q_near_dedup_docs,
         "doc_redaction": q_doc_redaction,
         "doc_repetition": q_doc_repetition,
@@ -2310,8 +2379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_sample_stratified": q_doc_sample_stratified,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "session_quality": q_session_quality,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_token_mix": q_doc_token_mix,
         "doc_quality_quantiles": q_doc_quality_quantiles,
@@ -2327,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # holds a driver-certified green row from a prior round
         # (CORRECTNESS_r0{1,2,3,4,5}) and stays value-checked each round by
         # scripts/check_oracle.py.
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "session_quality": q_session_quality,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "dedup_clusters": q_dedup_clusters,
@@ -3209,6 +3278,55 @@ _DSIR_WEIGHTS_CTE = r"""
               FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
             )
 """
+
+
+def _quality_clf_oracle_sql() -> str:
+    """Scoring replay with the captured literal weights: identical
+    feature chain to the Spark side (normalize -> unigrams+bigrams ->
+    md5-prefix bucket mod 512), per-doc mean of bucket weights + bias,
+    sigmoid, round 6."""
+    blob = _quality_clf_literals()
+    vals = ", ".join(
+        f"({i}, {w!r})" for i, w in enumerate(blob["weights"])
+    )
+    return rf"""
+        WITH nw AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(ws) AS g FROM nw
+            UNION ALL
+            SELECT doc_id, ws[CAST(i AS INTEGER) + 1] || ' ' || ws[CAST(i AS INTEGER) + 2] AS g
+            FROM nw, LATERAL (SELECT unnest(range(greatest(len(ws) - 1, 0))) AS i) gi
+          ) WHERE g != ''
+        ), bf AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {blob["n_buckets"]} AS bucket
+          FROM feats
+        ), wts(bucket, wt) AS (VALUES {vals}),
+        scored AS (
+          SELECT bf.doc_id, sum(coalesce(wts.wt, 0.0)) / count(*) AS dot
+          FROM bf LEFT JOIN wts ON wts.bucket = bf.bucket
+          GROUP BY bf.doc_id
+        )
+        SELECT d.doc_id, d.source,
+               round(1.0 / (1.0 + exp(-({blob["bias"]!r} + coalesce(s.dot, 0.0)))), 6) AS quality_prob
+        FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+def _pagerank_oracle_sql() -> str:
+    from featureengineer_spark.operators.graphrank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT event_id % 997 AS src, (event_id * 31 + 7) % 997 AS dst "
+        "FROM events",
+        damping=0.85,
+        n_iter=5,
+        round_to=6,
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4255,6 +4373,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS ppl_bucket
             FROM joined j LEFT JOIN cuts c ON c.lang = j.lang
         """,
+        "quality_clf_scores": _quality_clf_oracle_sql(),
+        "pagerank_hosts": _pagerank_oracle_sql(),
         "bpe_pair_counts": r"""
             WITH w AS (
               SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS wd

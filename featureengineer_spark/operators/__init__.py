@@ -113,6 +113,17 @@ from featureengineer_spark.operators.dedup import (  # noqa: F401
     near_dedup_incremental,
     ngram_containment_pairs,
 )
+from featureengineer_spark.operators.classifier import (  # noqa: F401
+    LogisticModel,
+    doc_feature_vectors,
+    quality_classifier_filter,
+    score_quality,
+    train_quality_classifier,
+)
+from featureengineer_spark.operators.graphrank import (  # noqa: F401
+    pagerank,
+    pagerank_oracle_sql,
+)
 from featureengineer_spark.operators.weburl import (  # noqa: F401
     extract_html_text,
     filter_blocked_domains,
