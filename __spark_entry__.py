@@ -1228,6 +1228,46 @@ def q_pagerank_hosts(spark, sf):
     return out.select("node", _r(F.col("rank")).alias("rank"))
 
 
+def _pq_literals():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "pq_sf001.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def q_pq_topk(spark, sf):
+    """Product-quantized ANN (Jégou et al. 2011; the FAISS IVF-PQ code
+    layout): PQ codebooks TRAINED AT QUERY TIME (m=4 subspaces, k=8
+    centroids, 5 distributed Lloyd iterations with pid-sorted
+    bit-deterministic partial folds), corpus encoded to 4 small codes
+    per vector in one map-only Arrow pass, and the 8 lowest-id
+    embeddings searched against the coded corpus by asymmetric distance
+    computation (per-partition running top-k, exact global merge). The
+    oracle replays encoding + ADC + ranking from codebook literals
+    captured by scripts/capture_pq.py (12-dp rounded on both sides)."""
+    import numpy as np
+
+    from featureengineer_spark.operators.pq import (
+        encode_pq,
+        search_pq,
+        train_pq,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    model = train_pq(emb, vec_col="embedding", m=4, k=8, n_iter=5, seed=0)
+    model.centroids = np.round(model.centroids, 12)
+    codes = encode_pq(emb, model)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = search_pq(codes, queries, model, k_top=5)
+    return out.select(
+        "query_id", "rank", "vec_id", _r(F.col("adc_dist")).alias("adc_dist")
+    )
+
+
 def _bpe_literals():
     import json
     import os
@@ -2367,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "quality_clf_scores": q_quality_clf_scores,
         "pagerank_hosts": q_pagerank_hosts,
+        "pq_topk": q_pq_topk,
         "near_dedup_docs": q_near_dedup_docs,
         "doc_redaction": q_doc_redaction,
         "doc_repetition": q_doc_repetition,
@@ -2378,7 +2419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_wccn_scores": q_lda_wccn_scores,
         "ann_ivf": q_ann_ivf,
         "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_sample_stratified": q_doc_sample_stratified,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_token_mix": q_doc_token_mix,
         "doc_quality_quantiles": q_doc_quality_quantiles,
@@ -2394,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # holds a driver-certified green row from a prior round
         # (CORRECTNESS_r0{1,2,3,4,5}) and stays value-checked each round by
         # scripts/check_oracle.py.
+        "doc_sample_stratified": q_doc_sample_stratified,
         "doc_pack_sequences": q_doc_pack_sequences,
         "session_quality": q_session_quality,
         "media_features": q_media_features,
@@ -3314,6 +3355,53 @@ def _quality_clf_oracle_sql() -> str:
         SELECT d.doc_id, d.source,
                round(1.0 / (1.0 + exp(-({blob["bias"]!r} + coalesce(s.dot, 0.0)))), 6) AS quality_prob
         FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+def _pq_oracle_sql() -> str:
+    """Replay PQ encode + ADC + rank from the captured codebooks: one
+    (sub, cid, pos, val) literal table; per-(vec, sub, cid) exact
+    subspace distances; encode = row_number argmin (ties -> lower cid,
+    matching numpy argmin); adc(q, x) = sum over sub of the query's
+    distance to x's assigned centroid."""
+    blob = _pq_literals()
+    dsub = blob["dsub"]
+    vals = ", ".join(
+        f"({j}, {c}, {p}, {v!r})"
+        for j, cb in enumerate(blob["centroids"])
+        for c, cent in enumerate(cb)
+        for p, v in enumerate(cent)
+    )
+    return f"""
+        WITH cent(sub, cid, pos, val) AS (VALUES {vals}),
+        dists AS (
+          SELECT e.vec_id, c.sub, c.cid,
+                 sum((e.embedding[c.sub * {dsub} + c.pos + 1]::DOUBLE - c.val) ^ 2) AS dd
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY e.vec_id, c.sub, c.cid
+        ),
+        codes AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        adc AS (
+          SELECT dq.vec_id AS query_id, cx.vec_id AS cand_id,
+                 sum(dq.dd) AS adc_dist
+          FROM codes cx
+          JOIN dists dq ON dq.sub = cx.sub AND dq.cid = cx.cid
+          WHERE dq.vec_id < 8
+          GROUP BY dq.vec_id, cx.vec_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+               round(adc_dist, 6) AS adc_dist
+        FROM (
+          SELECT query_id, cand_id AS vec_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+          FROM adc
+        ) WHERE rank <= 5
     """
 
 
@@ -4375,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_clf_scores": _quality_clf_oracle_sql(),
         "pagerank_hosts": _pagerank_oracle_sql(),
+        "pq_topk": _pq_oracle_sql(),
         "bpe_pair_counts": r"""
             WITH w AS (
               SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS wd

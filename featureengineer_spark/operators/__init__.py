@@ -120,6 +120,13 @@ from featureengineer_spark.operators.classifier import (  # noqa: F401
     score_quality,
     train_quality_classifier,
 )
+from featureengineer_spark.operators.pq import (  # noqa: F401
+    PQModel,
+    encode_pq,
+    reconstruct_pq,
+    search_pq,
+    train_pq,
+)
 from featureengineer_spark.operators.graphrank import (  # noqa: F401
     pagerank,
     pagerank_oracle_sql,

@@ -1,0 +1,346 @@
+"""Product quantization for compressed-domain ANN (Jégou, Douze &
+Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+public; the code layout behind FAISS's IVF-PQ indexes).
+
+A d-dim float vector is split into ``m`` subvectors; each subspace gets
+its own ``k``-centroid codebook, and the vector is stored as ``m``
+small integers (64-dim float32 = 256 B -> 4 B at m=4/k<=256). Search
+uses ASYMMETRIC DISTANCE COMPUTATION (ADC): the query computes one
+(m, k) table of exact subspace distances, and each corpus vector's
+approximate squared L2 distance is just ``m`` table lookups summed —
+the corpus is never decoded.
+
+Why this is a 100 TB operator: an exact float scan over a 10^11-vector
+store reads hundreds of TB per query batch; the PQ-coded corpus is
+~50-100x smaller, turns the scan I/O-bound -> cache-resident, and the
+ADC inner loop is a gather+sum that vectorizes. Composes with the IVF
+index (``similarity.build_ivf_index``): prune lists first, ADC within
+probed lists.
+
+Spark shape:
+
+- ``train_pq``: ALL m subspace k-means run in the SAME pass — one
+  Spark job per Lloyd iteration, each task emitting a single
+  (m*k counts, m*k*dsub sums) partial, folded bit-deterministically by
+  ``em.reduce_partials`` (pid-sorted; same contract as the GMM/TV
+  chain) so trained codebooks can embed as DuckDB oracle literals.
+- ``encode_pq``: one ``mapInArrow`` pass, argmin per subspace against
+  the broadcast codebooks — O(corpus) with no shuffle.
+- ``search_pq``: broadcast the query block, each task scores its
+  corpus-code batches against all query LUTs as numpy gathers and
+  emits ONLY its per-partition top-k candidates; the global exact
+  merge is a window over #partitions*k*|Q| rows. Same
+  partial-top-k discipline as ``similarity._ann_ivf_gemm``.
+
+Reference analog: the reference compresses nothing — every score pass
+re-reads float features (``IVector.py:1122-1135``); PQ is the standard
+public answer when the corpus no longer fits the I/O budget.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from featureengineer_spark.operators.em import reduce_partials
+
+
+@dataclass
+class PQModel:
+    """Per-subspace codebooks: (m, k, dsub) centroid tensor."""
+
+    centroids: np.ndarray
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def d(self) -> int:
+        return self.m * self.dsub
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 5,
+    seed: int = 0,
+) -> PQModel:
+    """Train all ``m`` subspace codebooks in one distributed Lloyd loop.
+    Init = the first ``k`` rows by deterministic hash order, split into
+    subvectors (the ``train_kmeans`` discipline). Empty clusters keep
+    their previous centroid."""
+    import pyarrow as pa
+
+    sc = df.sparkSession.sparkContext
+    d = len(df.select(vec_col).first()[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    init_rows = (
+        vecs.withColumn(
+            "__h", F.xxhash64(F.to_json(F.col(vec_col)), F.lit(seed))
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need >= {k} rows to seed {k} centroids")
+    cent = np.array([r[vec_col] for r in init_rows]).reshape(k, m, dsub)
+    cent = np.transpose(cent, (1, 0, 2)).copy()  # (m, k, dsub)
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.ArrayType(T.DoubleType())),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(n_iter):
+        b_c = sc.broadcast(cent)
+
+        def partials(batches):
+            c = b_c.value  # (m, k, dsub)
+            n_part = np.zeros((m, k))
+            s_part = np.zeros((m, k, dsub))
+            seen = False
+            for batch in batches:
+                x = (
+                    batch.column(0)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(-1, m, dsub)
+                )
+                for j in range(m):
+                    cj = c[j]  # (k, dsub)
+                    xj = x[:, j, :]  # (n, dsub)
+                    a = np.argmin(
+                        (cj * cj).sum(axis=1) - 2.0 * (xj @ cj.T), axis=1
+                    )
+                    n_part[j] += np.bincount(a, minlength=k).astype(
+                        np.float64
+                    )
+                    np.add.at(s_part[j], a, xj)
+                seen = True
+            if not seen:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [n_part.ravel().tolist()], type=pa.list_(pa.float64())
+                    ),
+                    pa.array(
+                        [s_part.ravel().tolist()], type=pa.list_(pa.float64())
+                    ),
+                ],
+                names=["n", "s"],
+            )
+
+        parts = reduce_partials(
+            vecs.mapInArrow(partials, schema=schema),
+            {"n": m * k, "s": m * k * dsub},
+        )
+        n = parts["n"].reshape(m, k)
+        s = parts["s"].reshape(m, k, dsub)
+        new_c = cent.copy()
+        nonempty = n > 0
+        new_c[nonempty] = s[nonempty] / n[nonempty][:, None]
+        cent = new_c
+    return PQModel(centroids=cent)
+
+
+def encode_pq(
+    df: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``code_col`` = array<int> of length m (nearest subspace
+    centroid ids). One map-only Arrow pass, broadcast codebooks."""
+    import pyarrow as pa
+
+    m, k, dsub = model.m, model.k, model.dsub
+    sc = df.sparkSession.sparkContext
+    b_c = sc.broadcast(model.centroids)
+    cols = df.columns
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(code_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def kernel(batches):
+        c = b_c.value
+        cn2 = (c * c).sum(axis=2)  # (m, k)
+        for batch in batches:
+            idx = batch.schema.get_field_index(vec_col)
+            x = (
+                batch.column(idx)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, m, dsub)
+            )
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = np.argmin(
+                    cn2[j] - 2.0 * (x[:, j, :] @ c[j].T), axis=1
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
+                names=list(batch.schema.names) + [code_col],
+            )
+
+    return df.select(*cols).mapInArrow(kernel, schema=out_schema)
+
+
+def search_pq(
+    codes: DataFrame,
+    queries: DataFrame,
+    model: PQModel,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Per-query top-``k_top`` corpus ids by ADC squared-L2 distance:
+    (query_id, rank, vec_id, adc_dist). The query block (LUTs included)
+    is broadcast; each task emits only its local top-k per query, so
+    the merge window sees #partitions * k_top rows per query. Ties
+    break on the lower ``vec_id`` (deterministic)."""
+    import pyarrow as pa
+
+    from pyspark.sql.window import Window
+
+    m, k, dsub = model.m, model.k, model.dsub
+    qrows = (
+        queries.select(query_id_col, query_vec_col).limit(
+            max_query_rows + 1
+        )
+    ).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"search_pq: query side exceeds max_query_rows={max_query_rows}"
+            " — chunk the query block or raise the cap"
+        )
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, rank int, {id_col} long, adc_dist double",
+        )
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qv = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)
+    qv = qv.reshape(len(qids), m, dsub)
+    # exact (|Q|, m, k) subspace LUT: ||q_sub - c||^2
+    c = model.centroids  # (m, k, dsub)
+    lut = np.empty((len(qids), m, k))
+    for j in range(m):
+        diff = qv[:, j, None, :] - c[j][None, :, :]
+        lut[:, j, :] = (diff * diff).sum(axis=2)
+    sc = codes.sparkSession.sparkContext
+    b = sc.broadcast((qids, lut, int(k_top)))
+
+    part_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _topk(d, ids, kt):
+        """Exact per-query top-k of (nq, n) distances with (dist, id)
+        tie order -> ((nq, kt') dists, (nq, kt') ids)."""
+        kt_eff = min(kt, d.shape[1])
+        order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[
+            :, :kt_eff
+        ]
+        return np.take_along_axis(d, order, axis=1), ids[order]
+
+    def kernel(batches):
+        qids_, lut_, kt = b.value
+        nq = len(qids_)
+        # running per-query top-k, folded per Arrow batch so task memory
+        # is O(nq * (batch_rows + kt)), never O(nq * partition_rows)
+        run_d = np.empty((nq, 0))
+        run_i = np.empty((nq, 0), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            ids = (
+                batch.column(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            cd = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(-1, m)
+            )
+            # gather: dist[q, i] = sum_j lut[q, j, cd[i, j]]
+            d = np.zeros((nq, cd.shape[0]))
+            for j in range(m):
+                d += lut_[:, j, cd[:, j]]
+            bd, bi = _topk(d, ids, kt)
+            merged_d = np.concatenate([run_d, bd], axis=1)
+            merged_i = np.concatenate([run_i, bi], axis=1)
+            # merged ids vary per query row: lexsort row-wise
+            order = np.lexsort(
+                (merged_i, merged_d), axis=1
+            )[:, : min(kt, merged_d.shape[1])]
+            run_d = np.take_along_axis(merged_d, order, axis=1)
+            run_i = np.take_along_axis(merged_i, order, axis=1)
+            seen = True
+        if not seen or run_d.shape[1] == 0:
+            return
+        kt_eff = run_d.shape[1]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(qids_, kt_eff), type=pa.int64()),
+                pa.array(run_i.ravel(), type=pa.int64()),
+                pa.array(run_d.ravel(), type=pa.float64()),
+            ],
+            names=[query_id_col, id_col, "adc_dist"],
+        )
+
+    cand = codes.select(
+        F.col(id_col).cast("long"), F.col(code_col)
+    ).mapInArrow(kernel, schema=part_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+        .select(query_id_col, "rank", id_col, "adc_dist")
+    )
+
+
+def reconstruct_pq(model: PQModel, codes: np.ndarray) -> np.ndarray:
+    """Decode (n, m) int codes back to (n, d) approximate vectors —
+    driver-side helper for tests/diagnostics."""
+    n = codes.shape[0]
+    out = np.empty((n, model.d))
+    for j in range(model.m):
+        out[:, j * model.dsub : (j + 1) * model.dsub] = model.centroids[j][
+            codes[:, j]
+        ]
+    return out
