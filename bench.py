@@ -294,6 +294,27 @@ def main() -> None:
         lambda: search_ivf_index(spark, idx_path, qs, k=10, n_probe=3)
     )
     timings["ivf_index_search"] = round(idx_s, 4)
+
+    # compressed-domain search (round-6 addition): IVF-PQ index — the
+    # store holds m-byte codes instead of d*4-byte floats, search pays
+    # the pruned-scan + ADC gather cost. Index built once outside the
+    # timed region; same query block and probe budget as the raw-vector
+    # paths above so the three ANN rows are directly comparable.
+    from featureengineer_spark.operators.pq import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    pq_path = f"/tmp/fe_bench_ivfpq_idx_v1_{ANN_CORPUS}x{ANN_DIM}"
+    if not os.path.exists(pq_path + "/_SUCCESS"):
+        build_ivfpq_index(
+            corpus, pq_path, n_lists=64, m=8, k=64, kmeans_iter=2,
+            pq_iter=3, seed=5,
+        )
+    pq_s = _best_of_thunk(
+        lambda: search_ivfpq_index(spark, pq_path, qs, k_top=10, n_probe=3)
+    )
+    timings["ivfpq_search"] = round(pq_s, 4)
     corpus.unpersist()
 
     # streaming near-dup gate (round-6 addition): per-batch wall of the
@@ -368,6 +389,7 @@ def main() -> None:
                 "docs_per_sec_dedup_minhash": round(n_docs / dedup_s, 1),
                 "ann_queries_per_sec_ivf": round(ANN_QUERIES / ann_s, 1),
                 "ann_queries_per_sec_ivf_index": round(ANN_QUERIES / idx_s, 1),
+                "ann_queries_per_sec_ivfpq": round(ANN_QUERIES / pq_s, 1),
                 "stream_docs_per_sec_neardup": round(n_docs / n_stream_files / stream_s, 1),
             }
         )

@@ -122,8 +122,10 @@ from featureengineer_spark.operators.classifier import (  # noqa: F401
 )
 from featureengineer_spark.operators.pq import (  # noqa: F401
     PQModel,
+    build_ivfpq_index,
     encode_pq,
     reconstruct_pq,
+    search_ivfpq_index,
     search_pq,
     train_pq,
 )

@@ -334,6 +334,286 @@ def search_pq(
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 4,
+    k: int = 16,
+    kmeans_iter: int = 5,
+    pq_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> tuple[np.ndarray, PQModel]:
+    """Persist a FAISS-style IVF-PQ index: coarse quantizer (Lloyd
+    k-means, ``similarity.train_kmeans``) partitions the corpus into
+    inverted lists; a PQ codebook trained on the RESIDUALS
+    ``x - coarse[list]`` (the standard IVF-PQ trick — residuals are
+    centered, so the same codebook budget quantizes them much tighter
+    than raw vectors) encodes each vector to ``m`` small codes. The
+    store holds ONLY ``(id, pq_code)`` partitioned by ``list_id`` —
+    d·4 bytes/vector becomes m bytes: at 100 TB of raw embeddings the
+    index is the thing that still fits on the scan tier, and search
+    I/O is ``n_probe/n_lists`` of it (partition pruning) on top.
+    Codebooks + coarse centroids land in a JSON sidecar through the
+    Hadoop FS API (s3a/hdfs-safe). Returns (centroids, pq_model)."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from featureengineer_spark.operators.similarity import (
+        _hadoop_write_text,
+        train_kmeans,
+    )
+
+    centroids = train_kmeans(
+        corpus.select(F.col(vec_col)), k=n_lists, n_iter=kmeans_iter,
+        vec_col=vec_col, seed=seed,
+    )
+    d = centroids.shape[1]
+    sc = corpus.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    res_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("__residual", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def residual_kernel(batches):
+        c = b_cent.value
+        cn2 = (c * c).sum(axis=1)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            x = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, d)
+            )
+            # stable lowest-list argmin — matches the search kernels
+            a = np.argsort(
+                cn2 - 2.0 * (x @ c.T), axis=1, kind="stable"
+            )[:, 0].astype(np.int32)
+            r = x - c[a]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                    pa.array(a, type=pa.int32()),
+                    pa.array(r.tolist(), type=pa.list_(pa.float64())),
+                ],
+                names=[id_col, "list_id", "__residual"],
+            )
+
+    residuals = (
+        corpus.select(F.col(id_col).cast("long"), F.col(vec_col))
+        .mapInArrow(residual_kernel, schema=res_schema)
+        .persist()
+    )
+    try:
+        pq_model = train_pq(
+            residuals, vec_col="__residual", m=m, k=k, n_iter=pq_iter,
+            seed=seed,
+        )
+        coded = encode_pq(
+            residuals, pq_model, vec_col="__residual", code_col="pq_code"
+        ).select(id_col, "list_id", "pq_code")
+        (
+            coded.repartition(n_lists, "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path)
+        )
+    finally:
+        residuals.unpersist()
+    meta = {
+        "n_lists": int(n_lists),
+        "dim": int(d),
+        "m": int(pq_model.m),
+        "k": int(pq_model.k),
+        "dsub": int(pq_model.dsub),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [float(v) for v in centroids.ravel()],
+        "codebooks": [float(v) for v in pq_model.centroids.ravel()],
+    }
+    _hadoop_write_text(
+        corpus.sparkSession, os.path.join(path, "_ivfpq_meta.json"),
+        json.dumps(meta),
+    )
+    return centroids, pq_model
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k_top: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str | None = None,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Top-``k_top`` ADC search against a persisted
+    :func:`build_ivfpq_index` store: (query_id, rank, vec_id,
+    adc_dist). One driver-side collect of the query block yields the
+    probe assignment, the pruned-scan partition filter
+    (``PartitionFilters`` on ``list_id`` — I/O = probed fraction of an
+    already m-bytes-per-vector store), and the per-(query, probed list)
+    residual LUTs the kernel broadcasts; corpus vectors are never
+    decoded. Ties break on lower id; exact global merge window."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from pyspark.sql.window import Window
+
+    from featureengineer_spark.operators.similarity import _hadoop_read_text
+
+    meta = json.loads(
+        _hadoop_read_text(spark, os.path.join(path, "_ivfpq_meta.json"))
+    )
+    n_lists, d = meta["n_lists"], meta["dim"]
+    m, k, dsub = meta["m"], meta["k"], meta["dsub"]
+    id_col = meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    centroids = np.array(meta["centroids"]).reshape(n_lists, d)
+    codebooks = np.array(meta["codebooks"]).reshape(m, k, dsub)
+
+    qrows = queries.select(query_id_col, vec_col).limit(
+        max_query_rows + 1
+    ).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"search_ivfpq_index: query side exceeds {max_query_rows} rows"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, rank int, {id_col} long, adc_dist double",
+        )
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    cn2 = (centroids * centroids).sum(axis=1)
+    probe = np.argsort(
+        cn2 - 2.0 * (qx @ centroids.T), axis=1, kind="stable"
+    )[:, : min(n_probe, n_lists)]
+    probed = sorted(int(v) for v in np.unique(probe))
+    # per-(query, probed list) residual LUT: ||(q - c_list)_sub - cb||^2
+    # lut[lid] = (q_idx array, (nq_lid, m, k) table)
+    luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for lid in probed:
+        q_idx = np.where((probe == lid).any(axis=1))[0]
+        resid = (qx[q_idx] - centroids[lid]).reshape(len(q_idx), m, dsub)
+        tab = np.empty((len(q_idx), m, k))
+        for j in range(m):
+            diff = resid[:, j, None, :] - codebooks[j][None, :, :]
+            tab[:, j, :] = (diff * diff).sum(axis=2)
+        luts[lid] = (q_idx, tab)
+    sc = spark.sparkContext
+    b = sc.broadcast((qids, luts, int(k_top), m))
+
+    part_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        qids_, luts_, kt, m_ = b.value
+        nq = len(qids_)
+        run_d = np.full((nq, 0), 0.0)
+        run_i = np.empty((nq, 0), dtype=np.int64)
+
+        def fold(new_d, new_i):
+            nonlocal run_d, run_i
+            md = np.concatenate([run_d, new_d], axis=1)
+            mi = np.concatenate([run_i, new_i], axis=1)
+            order = np.lexsort((mi, md), axis=1)[
+                :, : min(kt, md.shape[1])
+            ]
+            run_d = np.take_along_axis(md, order, axis=1)
+            run_i = np.take_along_axis(mi, order, axis=1)
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cd = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(-1, m_)
+            )
+            lids = batch.column(2).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            for lid in np.unique(lids):
+                if int(lid) not in luts_:
+                    continue
+                q_idx, tab = luts_[int(lid)]
+                sel = lids == lid
+                cdl = cd[sel]
+                idl = ids[sel]
+                dl = np.zeros((len(q_idx), cdl.shape[0]))
+                for j in range(m_):
+                    dl += tab[:, j, cdl[:, j]]
+                # scatter the local top-k into full-query-width frames
+                kt_eff = min(kt, dl.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(idl, dl.shape), dl), axis=1
+                )[:, :kt_eff]
+                bd = np.full((nq, kt_eff), np.inf)
+                bi = np.full((nq, kt_eff), np.iinfo(np.int64).max)
+                bd[q_idx] = np.take_along_axis(dl, order, axis=1)
+                bi[q_idx] = idl[order]
+                fold(bd, bi)
+        if run_d.shape[1] == 0:
+            return
+        keep = np.isfinite(run_d)
+        out_q = np.repeat(qids_, run_d.shape[1])[keep.ravel()]
+        out_i = run_i.ravel()[keep.ravel()]
+        out_d = run_d.ravel()[keep.ravel()]
+        if len(out_q) == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_i, type=pa.int64()),
+                pa.array(out_d, type=pa.float64()),
+            ],
+            names=[query_id_col, id_col, "adc_dist"],
+        )
+
+    pruned = (
+        spark.read.parquet(path)
+        .filter(F.col("list_id").isin(probed))
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("pq_code"),
+            F.col("list_id").cast("long"),
+        )
+    )
+    cand = pruned.mapInArrow(kernel, schema=part_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+        .select(query_id_col, "rank", id_col, "adc_dist")
+    )
+
+
 def reconstruct_pq(model: PQModel, codes: np.ndarray) -> np.ndarray:
     """Decode (n, m) int codes back to (n, d) approximate vectors —
     driver-side helper for tests/diagnostics."""
