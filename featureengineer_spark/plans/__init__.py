@@ -7,3 +7,7 @@ from featureengineer_spark.plans.ivector import (  # noqa: F401
     IVectorConfig,
     IVectorPipeline,
 )
+from featureengineer_spark.plans.webcurate import (  # noqa: F401
+    WebCurationConfig,
+    web_curation_pipeline,
+)
