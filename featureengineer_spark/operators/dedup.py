@@ -70,10 +70,24 @@ def _word_shingles(text_col: str, n: int) -> F.Column:
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, __sh) rows: normalize+split ONCE per doc into a bound column,
-    then shingle-transform + explode over it."""
-    return df.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
-    ).select(F.col(id_col), F.explode(_word_shingles("__w", n)).alias("__sh"))
+    then shingle-transform + explode over it.
+
+    Empty shingles are dropped: an EMPTY document (common after
+    cleaning passes strip boilerplate-only pages) would otherwise emit
+    the single shingle "" — giving every empty doc an IDENTICAL minhash
+    signature, which collapses the whole empty class into one LSH
+    bucket and turns the candidate self-join quadratic (measured: 20k
+    post-cleaning-empty docs at a 200k-doc curation run -> 3.2e9 join
+    rows). Under Jaccard an empty set is similar to nothing, so the
+    correct candidate set for empty docs is empty; exact dedup remains
+    the pass that collapses them."""
+    return (
+        df.select(
+            F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+        )
+        .select(F.col(id_col), F.explode(_word_shingles("__w", n)).alias("__sh"))
+        .filter(F.length("__sh") > 0)
+    )
 
 
 def _md5_long(expr: F.Column) -> F.Column:
@@ -291,6 +305,21 @@ def near_dedup_incremental(
     return within.join(colliders, on=id_col, how="left_anti")
 
 
+
+def _self_join_sides(frame, a_name: str = "a", b_name: str = "b"):
+    """Alias a corpus-scale frame for a candidate-pair self-join, with a
+    sort-merge hint on both sides. Static size estimates through the
+    upstream aggregations are unreliable (a banded/shingled frame can be
+    estimated KB-small while actually being GB-large), and a
+    mis-broadcast of a corpus-scale side stalls the driver for minutes —
+    measured at the 200k-doc curation-ladder rung, where the banded
+    frame (3M rows x ~550 B) was broadcast under a collapsed estimate.
+    The merge hint removes the static broadcast decision; AQE still
+    converts back to a broadcast join AT RUNTIME from the actual shuffle
+    sizes, so small corpora keep the fast plan."""
+    return frame.hint("merge").alias(a_name), frame.hint("merge").alias(b_name)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -316,8 +345,7 @@ def minhash_lsh_candidates(
         sig, id_col, num_perm, bands, hash_fn, extra_cols=("minhash",)
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a, b = _self_join_sides(banded)
     pairs = (
         a.join(
             b,
@@ -363,10 +391,17 @@ def simhash(
     )
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    ex = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
-    ).select(F.col(id_col), word_hash.alias("__h"))
+    # empty docs would all hash the single word "" to the same simhash
+    # and collapse into one quadratic pigeonhole block — drop them (same
+    # rationale as _exploded_shingles)
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__w"),
+        )
+        .filter(F.length("__w") > 0)
+        .select(F.col(id_col), word_hash.alias("__h"))
+    )
     bit_sums = ex.groupBy(id_col).agg(
         *[
             F.sum(
@@ -426,7 +461,7 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    a, b = _self_join_sides(chunked)
     pairs = (
         a.join(
             b,
@@ -477,8 +512,7 @@ def ngram_jaccard_pairs(
         keep = dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh")
         sh = sh.join(keep, on="__sh", how="inner")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a, b = _self_join_sides(sh)
     inter = (
         a.join(
             b,
@@ -638,7 +672,7 @@ def embedding_near_dups(
 
         dim = len(emb.select(vec_col).first()[0])
         tab = hyperplane_tables(e, dim, n_planes, n_tables, vec_col, seed)
-        a, b = tab.alias("a"), tab.alias("b")
+        a, b = _self_join_sides(tab)
         cand = _flat(
             a.join(
                 b,
@@ -733,8 +767,7 @@ def ngram_containment_pairs(
         keep = dfreq.filter(F.col("__df") <= max_shingle_df).select("__sh")
         sh = sh.join(keep, on="__sh", how="inner")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a, b = _self_join_sides(sh)
     inter = (
         a.join(
             b,

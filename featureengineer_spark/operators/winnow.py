@@ -124,8 +124,11 @@ def winnow_pairs(
         on="fp_hash",
         how="inner",
     )
-    a = rare.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
-    b = rare.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
+    from featureengineer_spark.operators.dedup import _self_join_sides
+
+    ra, rb = _self_join_sides(rare)
+    a = ra.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
+    b = rb.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, on="fp_hash")
         .filter(F.col("id_a") < F.col("id_b"))

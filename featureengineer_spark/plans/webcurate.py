@@ -53,6 +53,7 @@ class WebCurationConfig:
     paragraph_dedup: bool = True
     span_dedup: bool = False
     near_dup: bool = True
+    min_words_after_clean: int = 1
     ppl_drop_tail: bool = False
     mix_total_tokens: int | None = None
     mix_alpha: float = 0.7
@@ -164,6 +165,21 @@ def web_curation_pipeline(
             )
 
         pipe.stage("spans", spans)
+
+    if cfg.min_words_after_clean and (cfg.paragraph_dedup or cfg.span_dedup):
+
+        def reclean(df: DataFrame) -> DataFrame:
+            # re-apply the length floor AFTER cleaning passes: pages
+            # whose every paragraph/span was boilerplate come out empty
+            # (CCNet re-filters post-cleaning for exactly this), and an
+            # empty class must not reach the LSH stage
+            words = F.split(F.trim(F.col(cfg.text_col)), r"\s+")
+            return df.filter(
+                (F.length(F.trim(F.col(cfg.text_col))) > 0)
+                & (F.size(words) >= cfg.min_words_after_clean)
+            )
+
+        pipe.stage("reclean", reclean)
 
     if cfg.near_dup:
 
