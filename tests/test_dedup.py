@@ -619,3 +619,51 @@ def test_search_ivf_index_single_assignment_job(spark, clustered_vecs, tmp_path,
     assert res.count() > 0
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+
+def test_normalize_text_split_form_equals_regex_form(spark):
+    """normalize_text was reformulated from two regexp_replace passes to
+    split+filter+array_join (24x faster on the measured 60 MB corpus);
+    the output string must be byte-identical for every input — it feeds
+    md5/xxhash64 fingerprints that oracle-checked queries pin."""
+    from featureengineer_spark.operators.dedup import _norm_words, normalize_text
+
+    cases = [
+        "",
+        " ",
+        "\t\n\x0b\f\r",
+        "...",
+        "a",
+        "A",
+        "  leading and trailing  ",
+        "Hello, World! 123",
+        "tabs\tand\nnewlines\x0bvertical\ftabs\rcarriage",
+        "punct!@#$%^&*()_+-=[]{}|;':\",./<>?~`runs",
+        "UPPER lower MiXeD 0123456789",
+        "unicode  nbsp  emsp café straße 中文",
+        "emoji \U0001f600 mixed2text",
+        "a  b   c    d",
+        "1.5e-3 numbers-with.portions",
+        "ünïcödé àccénts",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    legacy = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    rows = df.select(
+        F.col("text"),
+        legacy.alias("old"),
+        normalize_text(F.col("text")).alias("new"),
+        F.split(legacy, " ").alias("old_words"),
+        _norm_words(F.col("text")).alias("new_words"),
+    ).collect()
+    for r in rows:
+        assert r["old"] == r["new"], (r["text"], r["old"], r["new"])
+        # word arrays agree up to the [''] empty-doc artifact
+        old_w = [w for w in (r["old_words"] or []) if w != ""]
+        assert old_w == (r["new_words"] if r["new_words"] is not None else []), r["text"]
