@@ -466,6 +466,18 @@ def stream_dedup_neardup(
     )
 
     def gate(batch_df, batch_id):
+        # A maxFilesPerTrigger micro-batch arrives as one input split per
+        # file, so the shingle->signature map stage (the gate's dominant
+        # cost) would run on one core per file while the rest of the
+        # cluster idles — measured 6.3 s of a 9.5 s batch at 50k
+        # docs/file on local[32]. Spread the batch across the executors
+        # once, by the deterministic id hash, before the heavy pass
+        # (guide §2.5: repartition immediately after a skewed read); the
+        # shuffled bytes are just the raw batch rows, far smaller than
+        # the exploded shingle stream this parallelizes.
+        batch_df = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
         sig = minhash_signatures(
             batch_df, id_col, text_col, num_perm, shingle, seed, hash_fn
         )
