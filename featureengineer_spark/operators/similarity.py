@@ -656,11 +656,18 @@ def build_ivf_index(
         .partitionBy("list_id")
         .parquet(path)
     )
+    id_type = dict(corpus.dtypes)[id_col]
     meta = {
         "n_lists": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
         "id_col": id_col,
         "vec_col": vec_col,
+        # recorded so searches can pass an explicit read schema and skip
+        # the per-call parquet footer/schema-inference job (~0.1-0.2 s
+        # per search call at the bench shape)
+        "schema_ddl": (
+            f"`{id_col}` {id_type}, `{vec_col}` array<double>, list_id int"
+        ),
         "centroids": [float(v) for v in centroids.ravel()],
     }
     # through the Hadoop FS API, not open(): the index must be buildable
@@ -718,8 +725,11 @@ def search_ivf_index(
             probed = sorted(int(v) for v in np.unique(probe))
         else:
             probed = []
+        reader = spark.read
+        if meta.get("schema_ddl"):
+            reader = reader.schema(meta["schema_ddl"])
         pruned = (
-            spark.read.parquet(path)
+            reader.parquet(path)
             .filter(F.col("list_id").isin(probed))
             .select(F.col(id_col), F.col(vec_col))
         )
@@ -751,7 +761,10 @@ def search_ivf_index(
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
         _norm(vec_col).alias("__qn"),
     ).filter(F.col("__qn") > 0)
-    store = spark.read.parquet(path).select(
+    reader = spark.read
+    if meta.get("schema_ddl"):
+        reader = reader.schema(meta["schema_ddl"])
+    store = reader.parquet(path).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col),
         F.col("list_id"),

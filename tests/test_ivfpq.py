@@ -143,3 +143,37 @@ def test_build_deterministic(corpus, tmp_path):
     )
     assert np.array_equal(a[0], b[0])
     assert np.array_equal(a[1].centroids, b[1].centroids)
+
+
+def test_search_broadcast_carries_no_driver_luts(spark, corpus, index, monkeypatch):
+    """LUT construction moved off the driver (round 7): the search
+    broadcast holds (qids, qx, probe, centroids, codebooks, k, m, dsub)
+    — the query block plus model constants — and the per-(query, list)
+    ADC tables are built lazily inside the Arrow kernel. Pin the
+    broadcast payload shape so a regression back to driver-side LUT
+    dicts (O(n_query * m * k * n_probed) driver memory) is caught."""
+    import pyspark
+
+    path, cents, model = index
+    x, _ = _synth()
+    queries = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(6)],
+        "query_id long, embedding array<double>",
+    )
+    payloads = []
+    orig = pyspark.SparkContext.broadcast
+
+    def capture(self, value):
+        payloads.append(value)
+        return orig(self, value)
+
+    monkeypatch.setattr(pyspark.SparkContext, "broadcast", capture)
+    res = search_ivfpq_index(spark, path, queries, k_top=3, n_probe=2)
+    monkeypatch.undo()
+    search_payloads = [p for p in payloads if isinstance(p, tuple) and len(p) == 8]
+    assert len(search_payloads) == 1, [type(p) for p in payloads]
+    qids, qx, probe, cents_b, cbs, kt, m, dsub = search_payloads[0]
+    assert qx.shape == (6, D) and probe.shape == (6, 2)
+    assert cbs.shape == (M, K, D // M)
+    assert not any(isinstance(p, dict) for p in payloads)
+    assert res.count() > 0
