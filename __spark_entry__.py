@@ -1391,13 +1391,24 @@ def q_time_features(spark, sf):
     isodow−1)."""
     from featureengineer_spark.operators.windows import with_time_features
 
+    def _rz(c):
+        # Signed-zero parity with the frozen oracle: DuckDB's round()
+        # keeps the IEEE sign when a tiny negative rounds to zero
+        # (cos(18*2pi/24) -> -0.0) while Spark's round() goes through
+        # BigDecimal HALF_UP, which has no signed zero and yields +0.0.
+        # The driver's value hash distinguishes the two even though they
+        # compare numerically equal (the round-6 red driver row), so
+        # re-attach the operand's sign on a rounded-to-zero result.
+        r = _r(c)
+        return F.when((r == 0.0) & (c < 0.0), F.lit(-0.0)).otherwise(r)
+
     out = with_time_features(_t(spark, sf, "events"))
     return out.select(
         "event_id", "hour", "weekday", "is_weekend",
-        _r(F.col("sin_hour")).alias("sin_hour"),
-        _r(F.col("cos_hour")).alias("cos_hour"),
-        _r(F.col("sin_weekday")).alias("sin_weekday"),
-        _r(F.col("cos_weekday")).alias("cos_weekday"),
+        _rz(F.col("sin_hour")).alias("sin_hour"),
+        _rz(F.col("cos_hour")).alias("cos_hour"),
+        _rz(F.col("sin_weekday")).alias("sin_weekday"),
+        _rz(F.col("cos_weekday")).alias("cos_weekday"),
     )
 
 
