@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the cached blocks behind an (eager) ``localCheckpoint`` frame
+    once nothing references it — ``DataFrame.unpersist`` does not cover
+    them (the blocks belong to the checkpointed RDD, not the cache
+    manager), so a loop of checkpoints otherwise retains
+    O(n_iter * |frame|) executor storage for the life of the job. Reaches
+    the RDD through the LogicalRDD plan node; best-effort (a Spark
+    version moving the private accessor degrades to the old
+    keep-everything behavior, never to an error)."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - defensive
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -91,6 +108,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is self-contained data; the previous
+        # iteration's blocks are now unreachable — release them instead
+        # of accreting n_iter copies of the rank frame in storage
+        _release_local_checkpoint(ranks)
         ranks = new_ranks
     nodes.unpersist()
     deg.unpersist()

@@ -62,19 +62,47 @@ class WebCurationConfig:
     seed: int = 0
 
 
+def _config_fingerprint(cfg: WebCurationConfig) -> str:
+    """Stable digest of the FULL config: resume must miss when any value
+    changes, including ones that do not alter the stage list (blocked
+    domain contents, allowed langs, mix totals, min_words, shard count) —
+    previously only ``seed`` + stage names were folded in, so rerunning
+    at the same root with a different such value silently returned the
+    old manifests' parquet."""
+    import dataclasses
+    import hashlib
+    import json
+
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def web_curation_pipeline(
     spark: SparkSession,
     docs: DataFrame,
     root: str,
     config: WebCurationConfig | None = None,
+    data_fingerprint: str | None = None,
 ) -> FeaturePipeline:
     """Build (not run) the pipeline; call ``.run()`` on the result.
     ``docs`` needs (id, text[, lang, html, url, token]) columns per the
     config. Each enabled stage appears in the manifest tree under
-    ``root`` and resumes exactly."""
+    ``root`` and resumes exactly.
+
+    Resume identity = full config hash + optional ``data_fingerprint``.
+    Pass a ``data_fingerprint`` that identifies the INPUT data (snapshot
+    id, source path + version, max ingest ts) whenever the same root can
+    see different inputs — the pipeline cannot derive one itself (a plan
+    hash cannot see in-place file changes, and differs across equivalent
+    local frames), so without it, resume assumes the root is dedicated
+    to one input dataset, as before."""
     cfg = config or WebCurationConfig()
+    data_part = f"-{data_fingerprint}" if data_fingerprint else ""
     pipe = FeaturePipeline(spark, root).source(
-        lambda _spark: docs, fingerprint=f"webcurate-src-{cfg.seed}"
+        lambda _spark: docs,
+        fingerprint=(
+            f"webcurate-src-{_config_fingerprint(cfg)}{data_part}"
+        ),
     )
 
     if cfg.html_col:

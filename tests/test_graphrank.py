@@ -77,3 +77,21 @@ def test_oracle_sql_replays(spark):
     assert set(got) == set(ref)
     for node, r in ref.items():
         assert got[node] == pytest.approx(r, abs=1e-9)
+
+
+def test_pagerank_releases_iteration_checkpoints(spark):
+    """The power-iteration loop must not accrete one cached rank frame
+    per iteration (O(n_iter * |V|) executor storage): after pagerank
+    returns, only the FINAL checkpointed rank frame's blocks (plus any
+    unrelated pre-existing cache entries) may remain."""
+    from featureengineer_spark.operators.graphrank import pagerank
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    ranks = pagerank(edges, n_iter=8)
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)

@@ -122,3 +122,54 @@ def test_matches_manual_stage_chain(spark, result):
     manual = {r["doc_id"] for r in df.select("doc_id").collect()}
     _, rows = result
     assert manual == {r["doc_id"] for r in rows}
+
+
+def test_config_change_invalidates_resume(spark, tmp_path):
+    """Round-7 fix: the resume fingerprint folds in the FULL config, so
+    rerunning at the same root with a changed value that does not alter
+    the stage list (here: blocked_domains contents) recomputes instead
+    of silently serving the old manifests' parquet."""
+    from featureengineer_spark.plans.webcurate import (
+        WebCurationConfig,
+        web_curation_pipeline,
+    )
+
+    root = str(tmp_path / "cfg_resume")
+    cfg_a = WebCurationConfig(
+        url_col="url", blocked_domains=("bad.com",), near_dup=False,
+        paragraph_dedup=False, gopher=False, shuffle_shards=None,
+    )
+    out_a = web_curation_pipeline(spark, _docs(spark), root, cfg_a).run()
+    ids_a = {r["doc_id"] for r in out_a.collect()}
+    cfg_b = WebCurationConfig(
+        url_col="url", blocked_domains=(), near_dup=False,
+        paragraph_dedup=False, gopher=False, shuffle_shards=None,
+    )
+    out_b = web_curation_pipeline(spark, _docs(spark), root, cfg_b).run()
+    ids_b = {r["doc_id"] for r in out_b.collect()}
+    assert ids_a < ids_b  # unblocking bad.com must bring its docs back
+
+
+def test_data_fingerprint_invalidates_resume(spark, tmp_path):
+    """A caller-supplied data fingerprint distinguishes different inputs
+    at the same root."""
+    from featureengineer_spark.plans.webcurate import (
+        WebCurationConfig,
+        web_curation_pipeline,
+    )
+
+    root = str(tmp_path / "data_resume")
+    cfg = WebCurationConfig(
+        near_dup=False, paragraph_dedup=False, gopher=False,
+        shuffle_shards=None,
+    )
+    docs_a = _docs(spark).limit(6)
+    out_a = web_curation_pipeline(
+        spark, docs_a, root, cfg, data_fingerprint="snap-a"
+    ).run()
+    n_a = out_a.count()
+    docs_b = _docs(spark)
+    out_b = web_curation_pipeline(
+        spark, docs_b, root, cfg, data_fingerprint="snap-b"
+    ).run()
+    assert out_b.count() > n_a
