@@ -211,6 +211,11 @@ def _banded_rows(
         if hash_fn == "xxhash64"
         else (lambda j: _md5_long(j))
     )
+    # band string via positional gets + concat_ws, not
+    # array_join(slice(...)): same interpreted-lambda allocation cost as
+    # the shingle build (slice copies an array per band per doc);
+    # byte-identical output — every slice element exists (num_perm =
+    # bands*rows) and both forms render the values comma-joined.
     return sig.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
@@ -220,7 +225,13 @@ def _banded_rows(
                 lambda b: F.struct(
                     b.alias("band_idx"),
                     band_of(
-                        F.array_join(F.slice("minhash", b * rows + 1, rows), ",")
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.get("minhash", b * rows + F.lit(j))
+                                for j in range(rows)
+                            ],
+                        )
                     ).alias("band_hash"),
                 ),
             )
