@@ -143,6 +143,12 @@ def _seeded_hash(seed_val: int, col: F.Column, hash_fn: str) -> F.Column:
 #: safe) and replays exactly in DuckDB.
 MINHASH_PRIME = 2_147_483_647
 
+#: Max candidate pairs materialized at once inside the LSH pair kernel —
+#: bounds a task's numpy working set (~2M pairs x ~(16 B of indices +
+#: 2 x num_perm x 4 B of gathered signatures) ≈ 1 GB peak at num_perm=64)
+#: regardless of bucket skew; a giant bucket streams through in blocks.
+_PAIR_BLOCK = 1 << 21
+
 
 def minhash_perm_coeffs(num_perm: int, seed: int):
     """Seed-derived (a, b) coefficient lists for the universal-hash
@@ -372,6 +378,7 @@ def minhash_lsh_candidates(
     shingle: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH on MinHash.
 
@@ -459,51 +466,132 @@ def minhash_lsh_candidates(
         new_b[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_b)
         sizes = np.diff(np.append(starts, len(bi)))
-        # ragged triangular pair enumeration, vectorized per distinct
-        # bucket size: all size-k buckets emit their k(k-1)/2 pairs in
-        # one broadcasted index expression
-        ri_all, rj_all = [], []
+
+        def block_partial(ri, rj):
+            """(row_i, row_j) index block -> compact partial arrays
+            (id_a, id_b, cnt, max_match): orient each pair id_a < id_b
+            (same strict inequality as the join form — equal-id row
+            pairs are dropped, not emitted), count matching minhash
+            positions, collapse within-block duplicates."""
+            va, vb = ids[ri], ids[rj]
+            swap = va > vb
+            a = np.where(swap, vb, va)
+            b2 = np.where(swap, va, vb)
+            keep = a != b2
+            a, b2, ri, rj = a[keep], b2[keep], ri[keep], rj[keep]
+            if len(a) == 0:
+                return None
+            match = (mh[ri] == mh[rj]).sum(axis=1).astype(np.int32)
+            return _pair_merge(a, b2, np.ones(len(a), dtype=np.int64), match)
+
+        def _pair_merge(a, b2, cnt, match):
+            po = np.lexsort((b2, a))
+            a, b2, cnt, match = a[po], b2[po], cnt[po], match[po]
+            nb = np.empty(len(a), dtype=bool)
+            nb[0] = True
+            nb[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+            st = np.flatnonzero(nb)
+            return (
+                a[st],
+                b2[st],
+                np.add.reduceat(cnt, st),
+                np.maximum.reduceat(match, st),
+            )
+
+        # Bounded-memory accumulation: per-block compact partials pool in
+        # `pending` and are consolidated (one more merge-by-pair) before
+        # yielding, so a normal partition still emits ONE fully deduped
+        # batch like the unblocked kernel, while a pathological giant
+        # bucket (thousands of exact-identical band hashes) flushes every
+        # ~pair_block accumulated pairs — it degrades to the old join
+        # form's quadratic OUTPUT streaming into the (spilling)
+        # downstream aggregation, never to an unbounded task-memory
+        # spike. Duplicates escaping across flush boundaries are merged
+        # by the final groupBy.
+        pending: list = []
+        pend_rows = 0
+
+        def flush():
+            nonlocal pending, pend_rows
+            if not pending:
+                return None
+            if len(pending) == 1:
+                a, b2, cnt, mm = pending[0]
+            else:
+                a, b2, cnt, mm = _pair_merge(
+                    np.concatenate([p[0] for p in pending]),
+                    np.concatenate([p[1] for p in pending]),
+                    np.concatenate([p[2] for p in pending]),
+                    np.concatenate([p[3] for p in pending]),
+                )
+            pending = []
+            pend_rows = 0
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a, type=id_arrow_type),
+                    pa.array(b2, type=id_arrow_type),
+                    pa.array(cnt, type=pa.int64()),
+                    pa.array(mm, type=pa.int32()),
+                ],
+                names=["id_a", "id_b", "__cnt", "__match"],
+            )
+
+        def add(part):
+            nonlocal pend_rows
+            if part is None:
+                return None
+            pending.append(part)
+            pend_rows += len(part[0])
+            if pend_rows >= pair_block:
+                return flush()
+            return None
+
+        # Ragged triangular pair enumeration in BOUNDED blocks: at most
+        # ~pair_block pairs are materialized (index/gather arrays) at a
+        # time. Normal buckets: all size-k buckets emit their k(k-1)/2
+        # pairs through one broadcasted index expression, batched so
+        # that bucket-count x pairs-per-bucket stays under the block
+        # size; a giant bucket streams its anchor rows in blocks (row i
+        # pairs with every j > i of the same bucket).
         for k in np.unique(sizes):
             if k < 2:
                 continue
             sel = starts[sizes == k]
-            iu, ju = np.triu_indices(int(k), 1)
-            ri_all.append((sel[:, None] + iu[None, :]).ravel())
-            rj_all.append((sel[:, None] + ju[None, :]).ravel())
-        if not ri_all:
-            return
-        ri = np.concatenate(ri_all)
-        rj = np.concatenate(rj_all)
-        va, vb = ids[ri], ids[rj]
-        # orient each pair id_a < id_b (same strict inequality as the
-        # join form: equal-id row pairs are dropped, not emitted)
-        swap = va > vb
-        a = np.where(swap, vb, va)
-        b2 = np.where(swap, va, vb)
-        keep = a != b2
-        a, b2, ri, rj = a[keep], b2[keep], ri[keep], rj[keep]
-        if len(a) == 0:
-            return
-        match = (mh[ri] == mh[rj]).sum(axis=1).astype(np.int32)
-        # partial aggregation by (id_a, id_b): the final groupBy then
-        # merges per-partition partials (sum counts, max match)
-        po = np.lexsort((b2, a))
-        a, b2, match = a[po], b2[po], match[po]
-        nb = np.empty(len(a), dtype=bool)
-        nb[0] = True
-        nb[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
-        st = np.flatnonzero(nb)
-        cnt = np.diff(np.append(st, len(a))).astype(np.int64)
-        mmax = np.maximum.reduceat(match, st)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(a[st], type=id_arrow_type),
-                pa.array(b2[st], type=id_arrow_type),
-                pa.array(cnt, type=pa.int64()),
-                pa.array(mmax, type=pa.int32()),
-            ],
-            names=["id_a", "id_b", "__cnt", "__match"],
-        )
+            k = int(k)
+            p = k * (k - 1) // 2
+            if p <= pair_block:
+                iu, ju = np.triu_indices(k, 1)
+                per = max(1, pair_block // p)
+                for s0 in range(0, len(sel), per):
+                    ss = sel[s0 : s0 + per]
+                    out = add(
+                        block_partial(
+                            (ss[:, None] + iu[None, :]).ravel(),
+                            (ss[:, None] + ju[None, :]).ravel(),
+                        )
+                    )
+                    if out is not None:
+                        yield out
+            else:
+                blk = max(1, pair_block // (k - 1))
+                for s in sel:
+                    for i0 in range(0, k - 1, blk):
+                        idx = np.arange(i0, min(i0 + blk, k - 1))
+                        cnts = k - 1 - idx
+                        total = int(cnts.sum())
+                        ri = np.repeat(idx, cnts)
+                        offs = np.concatenate(([0], np.cumsum(cnts[:-1])))
+                        rj = (
+                            np.arange(total)
+                            - np.repeat(offs, cnts)
+                            + np.repeat(idx + 1, cnts)
+                        )
+                        out = add(block_partial(int(s) + ri, int(s) + rj))
+                        if out is not None:
+                            yield out
+        out = flush()
+        if out is not None:
+            yield out
 
     pair_parts = (
         banded.filter(F.col(id_col).isNotNull())

@@ -713,3 +713,41 @@ def test_minhash_lsh_candidates_string_and_null_ids(spark):
             want[(x, y)] = (shared, m / 16.0)
     assert got == want
     assert all(a is not None and b is not None for a, b in got)
+
+
+def test_minhash_lsh_candidates_giant_bucket_blocked_path(spark):
+    """A giant LSH bucket (mass-identical documents) must stream through
+    the kernel's bounded pair blocks, not materialize all k(k-1)/2 pairs
+    at once. Force tiny blocks (pair_block=7) so both the batched-small
+    and the anchor-row-streaming giant path run, and require output
+    identical to the unblocked default."""
+    from pyspark.sql import functions as F2
+
+    from featureengineer_spark.operators.dedup import minhash_lsh_candidates
+
+    # 40 identical docs (one bucket of 40 in every band: p=780 >> 7),
+    # plus a family of 3 near-identical and some distinct filler
+    docs = spark.range(40).select(
+        F2.col("id").alias("doc_id"),
+        F2.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").alias("text"),
+    )
+    fam = spark.range(40, 43).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(
+            F2.lit("lambda mu nu xi omicron pi rho sigma tau upsilon tail"),
+            F2.col("id").cast("string"),
+        ).alias("text"),
+    )
+    filler = spark.range(50, 60).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(F2.lit("unique words only here for doc number "),
+                  F2.col("id").cast("string"),
+                  F2.lit(" nothing shared beyond stopwords")).alias("text"),
+    )
+    df = docs.unionByName(fam).unionByName(filler)
+    base = minhash_lsh_candidates(df, num_perm=16, bands=4)
+    blocked = minhash_lsh_candidates(df, num_perm=16, bands=4, pair_block=7)
+    assert base.exceptAll(blocked).count() == 0
+    assert blocked.exceptAll(base).count() == 0
+    # the identical family alone contributes 40*39/2 pairs
+    assert base.count() >= 780
